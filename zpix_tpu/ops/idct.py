@@ -160,13 +160,23 @@ def idct_batch(blocks: np.ndarray) -> np.ndarray:
     return _col_pass(s, np)
 
 
-def idct_batch_jax(blocks):
-    """Same transform under jax.numpy for jit/pjit graphs."""
-    import jax.numpy as jnp
+_IDCT_JIT = None
 
-    s = blocks.astype(jnp.int32)
-    s = _row_pass(s, jnp)
-    return _col_pass(s, jnp)
+
+def idct_batch_jax(blocks):
+    """Same transform under jax.numpy, jitted (shape-polymorphic cache)."""
+    global _IDCT_JIT
+    if _IDCT_JIT is None:
+        import jax
+
+        def _f(b):
+            import jax.numpy as jnp
+
+            s = b.astype(jnp.int32)
+            return _col_pass(_row_pass(s, jnp), jnp)
+
+        _IDCT_JIT = jax.jit(_f)
+    return _IDCT_JIT(blocks)
 
 
 def level_shift_np(blocks: np.ndarray) -> np.ndarray:
