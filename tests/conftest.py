@@ -8,10 +8,17 @@ pod slice, per SURVEY.md section 4's multi-device test strategy.
 import os
 import sys
 
-# Force CPU: the session environment pins JAX_PLATFORMS=axon (a tunneled
-# real TPU chip) which is reserved for bench.py; unit tests must run on the
-# virtual CPU mesh.
+# Force CPU: the session environment registers an 'axon' PJRT plugin (a
+# tunneled real TPU chip) at interpreter startup and sets
+# jax_platforms=axon,cpu; the chip is reserved for bench.py.  Unit tests run
+# on the virtual CPU mesh, so override the already-set config value.
 os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -62,8 +62,12 @@ ADOBE_YCBCR = 1
 ADOBE_YCBCRK = 2
 
 
-class _MissingFF00(Exception):
-    """Internal signal: 0xFF not followed by 0x00 in entropy data."""
+class _MissingFF00(FormatError):
+    """0xFF not followed by 0x00 in entropy data (decoder.zig:723-729).
+
+    Caught by decode_huffman's fast path as end-of-segment; anywhere else it
+    propagates as a format error, matching the reference's error.MissingFF00.
+    """
 
 
 class _ConfigOnly(Exception):
@@ -114,6 +118,9 @@ class Decoder:
         self.mxx = 0
         self.myy = 0
         self.img_allocated = False
+        # When set, skip reconstruction: the batched pipeline
+        # (zpix_tpu/parallel/batch.py) consumes raw coefficients instead.
+        self.collect_only = False
 
     # ------------------------------------------------------------------
     # Byte/bit input (decoder.zig:400-487, :712-749, :975-1022)
@@ -487,6 +494,12 @@ class Decoder:
         self.bits_a = self.bits_m = self.bits_n = 0
         self.num_unreadable = 0
 
+        if self._native_scan(
+            scan_ids, scan_td, scan_ta, n_comp, mxx, myy,
+            zig_start, zig_end, ah, al,
+        ):
+            return
+
         mcu = 0
         expected_rst = M_RST0
         block_count = 0
@@ -583,13 +596,125 @@ class Decoder:
                     dc = [0] * MAX_COMPONENTS
                     self.eob_run = 0
 
-        if not self.progressive:
+        if not self.progressive and not self.collect_only:
             # Sequential: batched dequant + IDCT + store for this scan's
             # blocks (the reference reconstructs per block inline,
             # decoder.zig:1426; results are identical).
             for c_index in range(MAX_COMPONENTS):
                 if touched[c_index]:
                     self._reconstruct_blocks(c_index, sorted(touched[c_index]))
+
+    def _native_scan(
+        self, scan_ids, scan_td, scan_ta, n_comp, mxx, myy,
+        zig_start, zig_end, ah, al,
+    ) -> bool:
+        """Run the scan loop in the native runtime if available.
+
+        Returns True when the native path fully handled the scan (including
+        sequential reconstruction).  Error codes map onto the same
+        exceptions the Python scan raises, so behavior is identical.
+        """
+        from ... import runtime
+
+        lib = runtime.get_lib()
+        if lib is None:
+            return False
+        import ctypes
+
+        huff_arr = (runtime.HuffTableC * 8)()
+        for tc in range(2):
+            for th in range(4):
+                if self.huff_set[tc][th]:
+                    h = self.huff[tc][th]
+                    c = huff_arr[tc * 4 + th]
+                    c.lut[:] = h.lut
+                    c.min_codes[:] = h.min_codes
+                    c.max_codes[:] = h.max_codes
+                    c.vals_indices[:] = h.vals_indices
+                    c.vals[:] = h.vals
+                    c.num_codes = h.num_codes
+
+        scan_arr = (runtime.ScanCompC * n_comp)()
+        coeff_ptrs = (ctypes.POINTER(ctypes.c_int32) * n_comp)()
+        for k in range(n_comp):
+            ci = scan_ids[k]
+            comp = self.component[ci]
+            scan_arr[k].c_index = ci
+            scan_arr[k].dc_table = scan_td[k]
+            scan_arr[k].ac_table = scan_ta[k]
+            scan_arr[k].h = comp.h
+            scan_arr[k].v = comp.v
+            scan_arr[k].bh = mxx * comp.h
+            coeff_ptrs[k] = self.coeff[ci].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)
+            )
+
+        eob = ctypes.c_uint16(self.eob_run)
+        pos_out = ctypes.c_int64(0)
+        bits_n_out = ctypes.c_int32(0)
+        unread_out = ctypes.c_int32(0)
+        rc = lib.zpix_decode_scan(
+            self.data,
+            len(self.data),
+            self.pos,
+            huff_arr,
+            scan_arr,
+            n_comp,
+            mxx,
+            myy,
+            self.width,
+            self.height,
+            self.restart_interval,
+            zig_start,
+            zig_end,
+            ah,
+            al,
+            1 if self.progressive else 0,
+            coeff_ptrs,
+            ctypes.byref(eob),
+            ctypes.byref(pos_out),
+            ctypes.byref(bits_n_out),
+            ctypes.byref(unread_out),
+        )
+        if rc == runtime.ERR_EOF:
+            raise UnexpectedEof("jpeg: unexpected EOF")
+        if rc == runtime.ERR_MISSING_FF00:
+            raise _MissingFF00("jpeg: missing 0xff00 sequence")
+        if rc == runtime.ERR_BAD_HUFFMAN:
+            raise FormatError("jpeg: bad Huffman code")
+        if rc == runtime.ERR_UNINIT_TABLE:
+            raise FormatError("jpeg: uninitialized Huffman table")
+        if rc == runtime.ERR_EXCESSIVE_DC:
+            raise UnsupportedError("jpeg: excessive DC component")
+        if rc == runtime.ERR_BAD_RST:
+            raise BadRSTMarker("jpeg: bad RST marker")
+        if rc == runtime.ERR_UNEXPECTED_CODE:
+            raise FormatError("jpeg: unexpected Huffman code")
+        if rc == runtime.ERR_TOO_MANY_COEFFS:
+            raise FormatError("jpeg: too many coefficients")
+        if rc != 0:
+            # Unknown code: coefficients may be partially written, so a
+            # fallback re-run is not safe — surface the failure.
+            raise FormatError(f"jpeg: native scan error {rc}")
+
+        self.pos = pos_out.value
+        self.bits_n = bits_n_out.value
+        self.bits_a = self.bits_m = 0
+        self.num_unreadable = unread_out.value
+        self.eob_run = eob.value
+
+        if not self.progressive and not self.collect_only:
+            h8 = (self.height + 7) // 8
+            w8 = (self.width + 7) // 8
+            for k in range(n_comp):
+                ci = scan_ids[k]
+                comp = self.component[ci]
+                bv, bh = myy * comp.v, mxx * comp.h
+                if n_comp == 1:
+                    bv, bh = min(bv, h8), min(bh, w8)
+                positions = [(by, bx) for by in range(bv) for bx in range(bh)]
+                self._reconstruct_blocks(ci, positions)
+        return True
 
     def _refine(self, b: np.ndarray, h: HuffTable, zig_start: int, zig_end: int, delta: int) -> None:
         """Successive approximation refinement (decoder.zig:1459-1518)."""
@@ -858,6 +983,11 @@ class Decoder:
                 raise FormatError("jpeg: unknown marker")
             else:
                 raise UnsupportedError("jpeg: unsupported marker")
+
+        if self.collect_only:
+            if self.coeff[0] is None:
+                raise FormatError("jpeg: missing SOS marker")
+            return self
 
         if self.progressive:
             self._reconstruct_progressive()

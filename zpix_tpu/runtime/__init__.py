@@ -1,0 +1,132 @@
+"""Native runtime: C++ entropy front-end, built on demand.
+
+The scan loop in entropy.cpp is the performance-critical serial front-end
+(the reference's processSos hot loop,
+/root/reference/src/jpeg/decoder.zig:1294-1455).  It is compiled lazily
+with g++ into libzpix_entropy.so next to this file and loaded via ctypes;
+if the toolchain or build is unavailable the Python scan in
+codecs/jpeg/decoder.py is used instead (identical semantics, slower).
+
+Set ZPIX_NATIVE=0 to force the Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "entropy.cpp")
+_SO = os.path.join(_HERE, "libzpix_entropy.so")
+_ABI_VERSION = 1
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+class HuffTableC(ctypes.Structure):
+    _fields_ = [
+        ("lut", ctypes.c_uint16 * 256),
+        ("min_codes", ctypes.c_int32 * 16),
+        ("max_codes", ctypes.c_int32 * 16),
+        ("vals_indices", ctypes.c_int32 * 16),
+        ("vals", ctypes.c_uint8 * 256),
+        ("num_codes", ctypes.c_int32),
+    ]
+
+
+class ScanCompC(ctypes.Structure):
+    _fields_ = [
+        ("c_index", ctypes.c_int32),
+        ("dc_table", ctypes.c_int32),
+        ("ac_table", ctypes.c_int32),
+        ("h", ctypes.c_int32),
+        ("v", ctypes.c_int32),
+        ("bh", ctypes.c_int32),
+    ]
+
+
+# Error codes (entropy.cpp).
+ERR_EOF = 1
+ERR_MISSING_FF00 = 2
+ERR_BAD_HUFFMAN = 3
+ERR_UNINIT_TABLE = 4
+ERR_EXCESSIVE_DC = 5
+ERR_BAD_RST = 6
+ERR_UNEXPECTED_CODE = 7
+ERR_TOO_MANY_COEFFS = 8
+
+
+def _build() -> bool:
+    flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                ["g++", *flags, *extra, "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed or os.environ.get("ZPIX_NATIVE", "1") == "0":
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                if not _build():
+                    _lib_failed = True
+                    return None
+            lib = ctypes.CDLL(_SO)
+            if lib.zpix_entropy_abi_version() != _ABI_VERSION:
+                if not _build():
+                    _lib_failed = True
+                    return None
+                lib = ctypes.CDLL(_SO)
+            lib.zpix_decode_scan.restype = ctypes.c_int
+            lib.zpix_decode_scan.argtypes = [
+                ctypes.c_char_p,  # data
+                ctypes.c_int64,  # len
+                ctypes.c_int64,  # pos_in
+                ctypes.POINTER(HuffTableC),  # huff[8]
+                ctypes.POINTER(ScanCompC),  # scan
+                ctypes.c_int32,  # n_comp
+                ctypes.c_int32,  # mxx
+                ctypes.c_int32,  # myy
+                ctypes.c_int32,  # width
+                ctypes.c_int32,  # height
+                ctypes.c_int32,  # restart_interval
+                ctypes.c_int32,  # zig_start
+                ctypes.c_int32,  # zig_end
+                ctypes.c_int32,  # ah
+                ctypes.c_int32,  # al
+                ctypes.c_int32,  # progressive
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # coeff_out
+                ctypes.POINTER(ctypes.c_uint16),  # eob_run_io
+                ctypes.POINTER(ctypes.c_int64),  # pos_out
+                ctypes.POINTER(ctypes.c_int32),  # bits_n_out
+                ctypes.POINTER(ctypes.c_int32),  # num_unreadable_out
+            ]
+            _lib = lib
+            return _lib
+        except OSError:
+            _lib_failed = True
+            return None
+
+
+def available() -> bool:
+    return get_lib() is not None
