@@ -1,0 +1,115 @@
+"""Batched + sharded decode on the virtual 8-device CPU mesh.
+
+The single-host multi-device stand-in for a TPU pod slice (SURVEY.md
+sec.4): batch sharding (dp) and block-row stripe sharding (the
+sequence-parallel analog) must both produce bit-exact output vs the host
+decoder.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from zpix_tpu.codecs import jpeg
+from zpix_tpu.color import ycbcr_to_rgb8
+from zpix_tpu.parallel import BatchJpegDecoder, make_mesh
+
+
+@pytest.fixture(scope="module")
+def jpeg_420(testdata):
+    with open(os.path.join(testdata, "video-001.q50.420.jpeg"), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def want_rgb(jpeg_420):
+    img = jpeg.decode(jpeg_420)
+    cb, cr = img.upsampled_cbcr()
+    r, g, b = ycbcr_to_rgb8(img.y, cb, cr)
+    return np.stack([r, g, b], axis=-1)
+
+
+def test_batch_unsharded_parity(jpeg_420, want_rgb):
+    out = np.asarray(BatchJpegDecoder().decode([jpeg_420] * 3))
+    assert out.shape == (3, 103, 150, 3)
+    for i in range(3):
+        assert np.array_equal(out[i], want_rgb)
+
+
+def test_batch_sharded_parity(jpeg_420, want_rgb):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(jax.devices()[:8], batch=8, stripe=1)
+    out = np.asarray(BatchJpegDecoder(mesh).decode([jpeg_420] * 8))
+    for i in range(8):
+        assert np.array_equal(out[i], want_rgb)
+
+
+def test_batch_gray(testdata):
+    with open(os.path.join(testdata, "video-005.gray.jpeg"), "rb") as f:
+        data = f.read()
+    host = jpeg.decode(data)
+    out = np.asarray(BatchJpegDecoder().decode([data] * 2))
+    assert np.array_equal(out[0], host.pix)
+
+
+def test_mixed_shapes_rejected(jpeg_420, testdata):
+    with open(os.path.join(testdata, "video-005.gray.jpeg"), "rb") as f:
+        other = f.read()
+    with pytest.raises(ValueError):
+        BatchJpegDecoder().decode([jpeg_420, other])
+
+
+def test_all_ratios_batch_parity(testdata):
+    for ratio in ("410", "411", "420", "422", "440", "444"):
+        with open(
+            os.path.join(testdata, f"video-001.q50.{ratio}.jpeg"), "rb"
+        ) as f:
+            data = f.read()
+        host = jpeg.decode(data)
+        cb, cr = host.upsampled_cbcr()
+        r, g, b = ycbcr_to_rgb8(host.y, cb, cr)
+        want = np.stack([r, g, b], axis=-1)
+        out = np.asarray(BatchJpegDecoder().decode([data]))
+        assert np.array_equal(out[0], want), f"ratio {ratio}"
+
+
+def test_batch_packed_parity(jpeg_420, want_rgb):
+    """Sparse bitmap+values transfer must decode bit-identically."""
+    out = np.asarray(BatchJpegDecoder(packed=True).decode([jpeg_420] * 3))
+    for i in range(3):
+        assert np.array_equal(out[i], want_rgb)
+
+
+def test_pack_sparse_roundtrip(jpeg_420):
+    from zpix_tpu.parallel.batch import pack_sparse, parse_coefficients
+
+    fe = parse_coefficients(jpeg_420)
+    for c in range(3):
+        coeff = fe.coeffs[c]
+        bitmap, vals = pack_sparse(coeff)
+        nb = coeff.shape[0] * coeff.shape[1]
+        flat = coeff.reshape(nb, 64)
+        mask = np.unpackbits(bitmap, axis=1).astype(bool)
+        assert np.array_equal(mask, flat != 0)
+        assert np.array_equal(vals, flat[flat != 0].astype(np.int16))
+
+
+def test_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    fn, args = mod.entry()
+    import jax
+
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[0].shape[0]

@@ -64,7 +64,11 @@ def _blocks_to_plane(jnp, blocks):
 
 
 def _component_plane(jnp, coeff, quant):
-    """Dequant + IDCT + level shift one component: [B,bv,bh,64] -> plane."""
+    """Dequant + IDCT + level shift one component: [B,bv,bh,64] -> plane.
+
+    coeff may arrive as int16 (the host->device transfer format; JPEG
+    coefficients fit: |value| < 2^15) and is widened on device.
+    """
     deq = coeff.astype(jnp.int32) * quant[:, None, None, :]
     blocks = deq.reshape(deq.shape[:-1] + (8, 8))
     out = _col_pass(_row_pass(blocks, jnp), jnp)
@@ -128,6 +132,307 @@ def decode_batch_gray(cy, qy, *, height, width):
     )
 
 
+class PackedFrontEnd:
+    """Sparse-packed per-image front-end output (native full parser)."""
+
+    __slots__ = ("width", "height", "ratio", "ncomp", "bitmaps", "vals", "quants", "hv")
+
+    def __init__(self, width, height, ratio, ncomp, bitmaps, vals, quants, hv):
+        self.width = width
+        self.height = height
+        self.ratio = ratio
+        self.ncomp = ncomp
+        self.bitmaps = bitmaps  # list of [nb, 8] uint8
+        self.vals = vals  # list of int16[nnz]
+        self.quants = quants  # list of [64] int32 natural order
+        self.hv = hv
+
+
+def _peek_sof(data: bytes):
+    """Cheap scan for SOF0/1 dims + sampling factors (sizing only)."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        ln = (data[pos + 2] << 8) | data[pos + 3]
+        if marker in (0xC0, 0xC1):
+            seg = data[pos + 4 : pos + 2 + ln]
+            if len(seg) < 6:
+                return None
+            h = (seg[1] << 8) | seg[2]
+            w = (seg[3] << 8) | seg[4]
+            nc = seg[5]
+            hv = []
+            for i in range(nc):
+                b = seg[7 + 3 * i]
+                hv.append((b >> 4, b & 0x0F))
+            if nc == 1:
+                hv = [(1, 1)]
+            return w, h, nc, hv
+        if marker == 0xDA:
+            return None
+        pos += 2 + ln
+    return None
+
+
+def parse_packed_native(data: bytes):
+    """Full native front-end: bytes -> PackedFrontEnd, or None (fallback)."""
+    from .. import runtime
+
+    lib = runtime.get_lib()
+    if lib is None:
+        return None
+    sof = _peek_sof(data)
+    if sof is None or sof[2] not in (1, 3):
+        return None
+    import ctypes
+
+    w, h, nc, hv = sof
+    h0, v0 = hv[0]
+    mxx = (w + 8 * h0 - 1) // (8 * h0)
+    myy = (h + 8 * v0 - 1) // (8 * v0)
+
+    bitmaps, vals, caps = [], [], []
+    bm_ptrs = (ctypes.POINTER(ctypes.c_uint8) * 4)()
+    val_ptrs = (ctypes.POINTER(ctypes.c_int16) * 4)()
+    cap_arr = (ctypes.c_int64 * 4)()
+    for i in range(nc):
+        hi, vi = hv[i]
+        nb = mxx * hi * myy * vi
+        bm = np.empty((nb, 8), np.uint8)
+        vl = np.empty(nb * 64, np.int16)
+        bitmaps.append(bm)
+        vals.append(vl)
+        bm_ptrs[i] = bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        val_ptrs[i] = vl.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        cap_arr[i] = nb * 64
+    quant_nat = np.zeros((3, 64), np.int32)
+    nnz = (ctypes.c_int64 * 4)()
+
+    rc = lib.zpix_parse_baseline(
+        data,
+        len(data),
+        w,
+        h,
+        bm_ptrs,
+        val_ptrs,
+        cap_arr,
+        quant_nat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nnz,
+    )
+    if rc != 0:
+        return None
+
+    if nc == 1:
+        ratio = "gray"
+    else:
+        h_ratio = hv[0][0] // hv[1][0]
+        v_ratio = hv[0][1] // hv[1][1]
+        ratio = {
+            0x11: "444", 0x12: "440", 0x21: "422",
+            0x22: "420", 0x41: "411", 0x42: "410",
+        }.get((h_ratio << 4) | v_ratio)
+        if ratio is None:
+            return None
+    return PackedFrontEnd(
+        w, h, ratio, nc,
+        bitmaps,
+        [vals[i][: nnz[i]] for i in range(nc)],
+        [quant_nat[i] for i in range(nc)],
+        hv,
+    )
+
+
+class NativeBatchFrontEnd:
+    """Whole-batch native front-end: one C call, internal thread pool.
+
+    Parses N same-geometry baseline JPEGs into persistent sparse-packed
+    buffers (reused across steps — zero allocation in steady state).
+    """
+
+    def __init__(self, sample: bytes, batch: int, n_threads: int | None = None):
+        import ctypes
+        import os as _os
+
+        from .. import runtime
+
+        self._runtime = runtime
+        self._ctypes = ctypes
+        self.lib = runtime.get_lib()
+        if self.lib is None:
+            raise RuntimeError("native runtime unavailable")
+        sof = _peek_sof(sample)
+        if sof is None or sof[2] not in (1, 3):
+            raise ValueError("not a supported baseline JPEG")
+        self.width, self.height, self.ncomp, self.hv = sof
+        h0, v0 = self.hv[0]
+        self.mxx = (self.width + 8 * h0 - 1) // (8 * h0)
+        self.myy = (self.height + 8 * v0 - 1) // (8 * v0)
+        self.batch = batch
+        self.n_threads = n_threads or (_os.cpu_count() or 2)
+
+        self.nb = []
+        self.bitmaps = []
+        self.vals = []
+        self.quants = []
+        for c in range(self.ncomp):
+            hi, vi = self.hv[c]
+            nb = self.mxx * hi * self.myy * vi
+            self.nb.append(nb)
+            self.bitmaps.append(np.empty((batch, nb, 8), np.uint8))
+            self.vals.append(np.empty((batch, nb * 64), np.int16))
+            self.quants.append(np.empty((batch, 64), np.int32))
+        self.nnz = np.empty((batch, 3), np.int64)
+        self.rcs = np.empty(batch, np.int32)
+
+        if self.ncomp == 1:
+            self.ratio = "gray"
+        else:
+            hr = self.hv[0][0] // self.hv[1][0]
+            vr = self.hv[0][1] // self.hv[1][1]
+            self.ratio = {
+                0x11: "444", 0x12: "440", 0x21: "422",
+                0x22: "420", 0x41: "411", 0x42: "410",
+            }[(hr << 4) | vr]
+
+    def __call__(self, datas: list[bytes]):
+        """Parse the batch in place; returns (bitmaps, vals_sliced, quants).
+
+        vals_sliced is [B, max_nnz_rounded] per component.
+        """
+        ct = self._ctypes
+        b = len(datas)
+        if b != self.batch:
+            raise ValueError("batch size mismatch")
+        data_ptrs = (ct.c_char_p * b)(*datas)
+        lens = (ct.c_int64 * b)(*[len(d) for d in datas])
+        bm_ptrs = (ct.POINTER(ct.c_uint8) * 4)()
+        val_ptrs = (ct.POINTER(ct.c_int16) * 4)()
+        q_ptrs = (ct.POINTER(ct.c_int32) * 4)()
+        caps = (ct.c_int64 * 4)()
+        strides = (ct.c_int64 * 4)()
+        for c in range(self.ncomp):
+            bm_ptrs[c] = self.bitmaps[c].ctypes.data_as(ct.POINTER(ct.c_uint8))
+            val_ptrs[c] = self.vals[c].ctypes.data_as(ct.POINTER(ct.c_int16))
+            q_ptrs[c] = self.quants[c].ctypes.data_as(ct.POINTER(ct.c_int32))
+            caps[c] = self.nb[c] * 64
+            strides[c] = self.nb[c] * 8
+        rc = self.lib.zpix_parse_baseline_batch(
+            data_ptrs, lens, b, self.width, self.height, self.ncomp,
+            bm_ptrs, val_ptrs, caps, strides, q_ptrs,
+            self.nnz.ctypes.data_as(ct.POINTER(ct.c_int64)),
+            self.rcs.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            self.n_threads,
+        )
+        if rc != 0:
+            raise RuntimeError(f"native batch front-end failed: rc={rc}")
+        vals_sliced = []
+        for c in range(self.ncomp):
+            cap = int(self.nnz[:, c].max())
+            cap = max(512, (cap + 511) // 512 * 512)
+            v = self.vals[c][:, :cap].copy()
+            # zero the padding tail per row (stale values are masked out by
+            # the bitmap on device, but keep transfers deterministic)
+            for i in range(b):
+                v[i, int(self.nnz[i, c]):] = 0
+            vals_sliced.append(v)
+        return self.bitmaps, vals_sliced, self.quants
+
+
+# ----------------------------------------------------------------------
+# Sparse coefficient transfer: bitmap + nonzero values
+# ----------------------------------------------------------------------
+#
+# Coefficient tensors are ~95% zero; the host->device link (PCIe, or a
+# tunnel in dev environments) is the pipeline bottleneck, so blocks travel
+# as a 64-bit nonzero bitmap + int16 values (~8x smaller) and are unpacked
+# on-device inside the jit graph.
+
+
+def pack_sparse(coeff: np.ndarray):
+    """[bv, bh, 64] int32 -> (bitmap [nb,8] uint8, vals int16[nnz])."""
+    from .. import runtime
+
+    nb = coeff.shape[0] * coeff.shape[1]
+    lib = runtime.get_lib()
+    if lib is not None and coeff.flags.c_contiguous:
+        import ctypes
+
+        bitmap = np.empty((nb, 8), np.uint8)
+        cap = coeff.size
+        vals = np.empty(cap, np.int16)
+        n = lib.zpix_pack_sparse(
+            coeff.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nb,
+            bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            cap,
+        )
+        if n >= 0:
+            return bitmap, vals[:n].copy()
+    flat = coeff.reshape(nb, 64)
+    mask = flat != 0
+    return np.packbits(mask, axis=1), flat[mask].astype(np.int16)
+
+
+def _unpack_sparse_graph(jnp, bitmap, vals, bv: int, bh: int):
+    """[B, nb, 8] uint8 + [B, maxnnz] int16 -> [B, bv, bh, 64] int32."""
+    b = bitmap.shape[0]
+    nb = bv * bh
+    bits = jnp.unpackbits(bitmap.reshape(b, nb * 8), axis=-1)  # [B, nb*64]
+    bits = bits.astype(jnp.int32)
+    idx = jnp.cumsum(bits, axis=-1) - 1
+    idx = jnp.clip(idx, 0, vals.shape[1] - 1)
+    gathered = jnp.take_along_axis(vals, idx, axis=-1).astype(jnp.int32)
+    coeff = jnp.where(bits == 1, gathered, 0)
+    return coeff.reshape(b, bv, bh, 64)
+
+
+def _ycbcr_graph_packed(
+    bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr,
+    *, height, width, ratio, by, bx, cby, cbx,
+):
+    """Packed-transfer variant of _ycbcr_graph (static block-grid dims)."""
+    import jax.numpy as jnp
+
+    cy = _unpack_sparse_graph(jnp, bm_y, v_y, by, bx)
+    ccb = _unpack_sparse_graph(jnp, bm_cb, v_cb, cby, cbx)
+    ccr = _unpack_sparse_graph(jnp, bm_cr, v_cr, cby, cbx)
+    return _ycbcr_graph(
+        cy, ccb, ccr, qy, qcb, qcr, height=height, width=width, ratio=ratio
+    )
+
+
+def decode_batch_ycbcr_packed(
+    bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr,
+    *, height, width, ratio, by, bx, cby, cbx,
+):
+    return _jitted(
+        "ycbcr_packed",
+        _ycbcr_graph_packed,
+        ("height", "width", "ratio", "by", "bx", "cby", "cbx"),
+    )(
+        bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr,
+        height=height, width=width, ratio=ratio, by=by, bx=bx, cby=cby, cbx=cbx,
+    )
+
+
+def _pad_vals(vals_list, mult: int = 512):
+    """Stack ragged value arrays, padded to a shared multiple-of-mult cap."""
+    cap = max(1, max(len(v) for v in vals_list))
+    cap = (cap + mult - 1) // mult * mult
+    out = np.zeros((len(vals_list), cap), np.int16)
+    for i, v in enumerate(vals_list):
+        out[i, : len(v)] = v
+    return out
+
+
 class BatchJpegDecoder:
     """Same-shape batched JPEG decoding, optionally sharded over a mesh.
 
@@ -136,9 +441,10 @@ class BatchJpegDecoder:
         rgb = dec.decode([jpeg_bytes, ...])    # [B, H, W, 3] uint8 on device
     """
 
-    def __init__(self, mesh=None, front_end=parse_coefficients):
+    def __init__(self, mesh=None, front_end=parse_coefficients, packed: bool = False):
         self.mesh = mesh
         self.front_end = front_end
+        self.packed = packed
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -161,12 +467,25 @@ class BatchJpegDecoder:
             cy = self._shard(np.stack([fe.coeffs[0] for fe in fes]))
             qy = self._shard(np.stack([fe.quants[0] for fe in fes]))
             return decode_batch_gray(cy, qy, height=f0.height, width=f0.width)
-        cy = self._shard(np.stack([fe.coeffs[0] for fe in fes]))
-        ccb = self._shard(np.stack([fe.coeffs[1] for fe in fes]))
-        ccr = self._shard(np.stack([fe.coeffs[2] for fe in fes]))
         qy = self._shard(np.stack([fe.quants[0] for fe in fes]))
         qcb = self._shard(np.stack([fe.quants[1] for fe in fes]))
         qcr = self._shard(np.stack([fe.quants[2] for fe in fes]))
+        if self.packed:
+            packs = [[pack_sparse(fe.coeffs[c]) for fe in fes] for c in range(3)]
+            args = []
+            for c in range(3):
+                args.append(self._shard(np.stack([p[0] for p in packs[c]])))
+                args.append(self._shard(_pad_vals([p[1] for p in packs[c]])))
+            by, bx = fes[0].coeffs[0].shape[:2]
+            cby, cbx = fes[0].coeffs[1].shape[:2]
+            return decode_batch_ycbcr_packed(
+                *args, qy, qcb, qcr,
+                height=f0.height, width=f0.width, ratio=f0.ratio,
+                by=by, bx=bx, cby=cby, cbx=cbx,
+            )
+        cy = self._shard(np.stack([fe.coeffs[0] for fe in fes]))
+        ccb = self._shard(np.stack([fe.coeffs[1] for fe in fes]))
+        ccr = self._shard(np.stack([fe.coeffs[2] for fe in fes]))
         return decode_batch_ycbcr_to_rgb(
             cy, ccb, ccr, qy, qcb, qcr,
             height=f0.height, width=f0.width, ratio=f0.ratio,

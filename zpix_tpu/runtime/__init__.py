@@ -20,7 +20,10 @@ import threading
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "entropy.cpp")
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 1
+_ABI_VERSION = 4
+
+ERR_UNSUPPORTED = 100
+ERR_FORMAT = 101
 
 _lock = threading.Lock()
 _lib = None
@@ -61,7 +64,7 @@ ERR_TOO_MANY_COEFFS = 8
 
 
 def _build() -> bool:
-    flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
+    flags = ["-O3", "-shared", "-fPIC", "-std=c++17", "-lpthread"]
     for extra in (["-march=native"], []):
         try:
             subprocess.run(
@@ -97,6 +100,43 @@ def get_lib():
                     _lib_failed = True
                     return None
                 lib = ctypes.CDLL(_SO)
+            lib.zpix_parse_baseline_batch.restype = ctypes.c_int
+            lib.zpix_parse_baseline_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            lib.zpix_parse_baseline.restype = ctypes.c_int
+            lib.zpix_parse_baseline.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.zpix_pack_sparse.restype = ctypes.c_int64
+            lib.zpix_pack_sparse.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+            ]
             lib.zpix_decode_scan.restype = ctypes.c_int
             lib.zpix_decode_scan.argtypes = [
                 ctypes.c_char_p,  # data
