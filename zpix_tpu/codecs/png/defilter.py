@@ -45,6 +45,26 @@ def defilter(raw: np.ndarray, height: int, row_bytes: int, bpp: int) -> np.ndarr
     need = height * (1 + row_bytes)
     if len(raw) < need:
         raise FormatError(f"png: not enough image data: have {len(raw)}, want {need}")
+
+    # Native fast path (zpix_tpu/runtime/defilter.cpp), identical semantics.
+    from ... import runtime
+
+    lib = runtime.get_lib()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty((height, row_bytes), np.uint8)
+        rc = lib.zpix_defilter(
+            bytes(raw[:need]) if not isinstance(raw, bytes) else raw[:need],
+            height,
+            row_bytes,
+            bpp,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc != 0:
+            raise FormatError("png: invalid filter type")
+        return out
+
     rows = np.frombuffer(raw[:need], np.uint8).reshape(height, 1 + row_bytes)
     filters = rows[:, 0]
     data = rows[:, 1:].copy()

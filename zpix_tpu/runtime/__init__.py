@@ -18,9 +18,9 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "entropy.cpp")
+_SRCS = [os.path.join(_HERE, "entropy.cpp"), os.path.join(_HERE, "defilter.cpp")]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -68,7 +68,7 @@ def _build() -> bool:
     for extra in (["-march=native"], []):
         try:
             subprocess.run(
-                ["g++", *flags, *extra, "-o", _SO, _SRC],
+                ["g++", *flags, *extra, "-o", _SO, *_SRCS],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -90,7 +90,9 @@ def get_lib():
         if _lib is not None:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(src) for src in _SRCS
+            ):
                 if not _build():
                     _lib_failed = True
                     return None
@@ -136,6 +138,24 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int16),
                 ctypes.c_int64,
+            ]
+            lib.zpix_defilter.restype = ctypes.c_int
+            lib.zpix_defilter.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.zpix_defilter_batch.restype = ctypes.c_int
+            lib.zpix_defilter_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int32,
+                ctypes.c_int32,
             ]
             lib.zpix_decode_scan.restype = ctypes.c_int
             lib.zpix_decode_scan.argtypes = [

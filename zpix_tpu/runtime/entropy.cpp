@@ -916,6 +916,6 @@ extern "C" int zpix_parse_baseline_batch(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 4; }
+int zpix_entropy_abi_version() { return 5; }
 
 }  // extern "C"
