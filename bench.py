@@ -127,10 +127,40 @@ def main():
         o.block_until_ready()
     dev_mpix_s = 3 * batch * mpix_per_image / (time.perf_counter() - t2)
 
+    # PNG RGB8 secondary metric (BASELINE measurement line).
+    png_mpix_s = 0.0
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+
+        from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+        x = np.linspace(0, 20, size)
+        base_img = (128 + 100 * np.sin(x[None, :] * np.cos(x[:, None]))).astype(np.uint8)
+        buf = BytesIO()
+        Image.fromarray(np.stack([base_img, base_img.T, base_img // 2], -1)).save(
+            buf, format="PNG"
+        )
+        png_data = buf.getvalue()
+        dec = BatchPngDecoder(n_threads=workers)
+        out = dec.decode([png_data] * batch)
+        out.block_until_ready()
+        t3 = time.perf_counter()
+        png_steps = 4
+        outs = []
+        for _ in range(png_steps):
+            outs.append(dec.decode([png_data] * batch))
+        for o in outs:
+            o.block_until_ready()
+        png_mpix_s = png_steps * batch * mpix_per_image / (time.perf_counter() - t3)
+    except Exception as e:  # secondary metric must not break the bench
+        print(f"# png bench skipped: {e!r}", file=sys.stderr)
+
     print(
         f"# front-end {fe_mpix_s:.0f} MPix/s | device-path {dev_mpix_s:.0f} "
-        f"MPix/s | batch={batch} size={size} steps={steps} "
-        f"backend={jax.devices()[0].platform}",
+        f"MPix/s | png-rgb8 {png_mpix_s:.0f} MPix/s | batch={batch} "
+        f"size={size} steps={steps} backend={jax.devices()[0].platform}",
         file=sys.stderr,
     )
     print(

@@ -98,6 +98,38 @@ def test_pack_sparse_roundtrip(jpeg_420):
         assert np.array_equal(vals, flat[flat != 0].astype(np.int16))
 
 
+PNG_BATCH_CASES = [
+    ("tc8", "png/basn2c08.png"),
+    ("tca8", "png/basn6a08.png"),
+    ("g8", "png/basn0g08.png"),
+    ("p8", "png/basn3p08.png"),
+]
+
+
+@pytest.mark.parametrize("depth,rel", PNG_BATCH_CASES)
+def test_batch_png_parity(testdata, depth, rel):
+    from zpix_tpu.codecs import png as png_codec
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    with open(os.path.join(testdata, rel), "rb") as f:
+        data = f.read()
+    host = png_codec.decode(data)
+    out = np.asarray(BatchPngDecoder().decode([data] * 2))
+    want = host.rgba_pixels().reshape(host.height, host.width, 4)
+    assert np.array_equal(out[0], want)
+    assert np.array_equal(out[1], want)
+
+
+def test_batch_png_interlaced_rejected(testdata):
+    from zpix_tpu.errors import UnsupportedError
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    with open(os.path.join(testdata, "png", "basn3p04-31i.png"), "rb") as f:
+        data = f.read()
+    with pytest.raises(UnsupportedError):
+        BatchPngDecoder().decode([data])
+
+
 def test_dryrun_multichip():
     import importlib.util
 

@@ -455,7 +455,15 @@ class BatchJpegDecoder:
         return jax.device_put(arr, NamedSharding(self.mesh, P("batch")))
 
     def decode(self, datas: list[bytes]):
-        fes = [self.front_end(d) for d in datas]
+        from ..utils import metrics, trace
+
+        with trace("jpeg_batch.front_end"):
+            fes = [self.front_end(d) for d in datas]
+        metrics.count("jpeg_batch.images", len(datas))
+        metrics.count(
+            "jpeg_batch.megapixels",
+            sum(fe.width * fe.height for fe in fes) / 1e6,
+        )
         f0 = fes[0]
         for fe in fes[1:]:
             if (fe.width, fe.height, fe.ratio) != (f0.width, f0.height, f0.ratio):

@@ -113,8 +113,11 @@ class BatchPngDecoder:
 
     def decode(self, datas: list[bytes]):
         from .. import runtime
+        from ..utils import metrics, trace
 
-        parsed = [parse_filtered(d) for d in datas]
+        with trace("png_batch.inflate"):
+            parsed = [parse_filtered(d) for d in datas]
+        metrics.count("png_batch.images", len(datas))
         st0 = parsed[0][0]
         for st, _ in parsed[1:]:
             if (st.width, st.height, st.color_depth) != (
