@@ -189,13 +189,65 @@ def level_shift_np(blocks: np.ndarray) -> np.ndarray:
     return np.clip(blocks + 128, 0, 255).astype(np.uint8)
 
 
-def idct_pallas(blocks, *, block_tile: int = 1024, interpret: bool = False):
-    """Pallas entry: blocks [N, 8, 8] int32 -> transformed [N, 8, 8].
+def _butterfly_row_list(s, xp):
+    """Row-pass butterfly over 8 per-column arrays (each any shape)."""
+    c = lambda v: xp.int32(v)  # noqa: E731
+    x0 = (s[0] << c(11)) + c(128)
+    x1 = s[4] << c(11)
+    x2, x3, x4, x5, x6, x7 = s[6], s[2], s[1], s[7], s[5], s[3]
+    x8 = c(W7) * (x4 + x5)
+    x4, x5 = x8 + c(W1MW7) * x4, x8 - c(W1PW7) * x5
+    x8 = c(W3) * (x6 + x7)
+    x6, x7 = x8 - c(W3MW5) * x6, x8 - c(W3PW5) * x7
+    x8, x0 = x0 + x1, x0 - x1
+    x1 = c(W6) * (x3 + x2)
+    x2, x3 = x1 - c(W2PW6) * x2, x1 + c(W2MW6) * x3
+    x1, x4 = x4 + x6, x4 - x6
+    x6, x5 = x5 + x7, x5 - x7
+    x7, x8 = x8 + x3, x8 - x3
+    x3, x0 = x0 + x2, x0 - x2
+    x2 = (c(R2) * (x4 + x5) + c(128)) >> c(8)
+    x4 = (c(R2) * (x4 - x5) + c(128)) >> c(8)
+    return [
+        (x7 + x1) >> c(8), (x3 + x2) >> c(8), (x0 + x4) >> c(8), (x8 + x6) >> c(8),
+        (x8 - x6) >> c(8), (x0 - x4) >> c(8), (x3 - x2) >> c(8), (x7 - x1) >> c(8),
+    ]
 
-    Tiles N onto the grid, `block_tile` blocks per kernel invocation in
-    VMEM (a tile is 8*8*4*block_tile bytes = 256 KiB at the default).  The
-    unrolled butterfly runs as int32 VPU ops over (tile, 8) vectors.  Falls
-    back to the plain jnp implementation when N isn't tileable.
+
+def _butterfly_col_list(s, xp):
+    """Column-pass butterfly over 8 per-row arrays (each any shape)."""
+    c = lambda v: xp.int32(v)  # noqa: E731
+    y0 = (s[0] << c(8)) + c(8192)
+    y1 = s[4] << c(8)
+    y2, y3, y4, y5, y6, y7 = s[6], s[2], s[1], s[7], s[5], s[3]
+    y8 = c(W7) * (y4 + y5) + c(4)
+    y4, y5 = (y8 + c(W1MW7) * y4) >> c(3), (y8 - c(W1PW7) * y5) >> c(3)
+    y8 = c(W3) * (y6 + y7) + c(4)
+    y6, y7 = (y8 - c(W3MW5) * y6) >> c(3), (y8 - c(W3PW5) * y7) >> c(3)
+    y8, y0 = y0 + y1, y0 - y1
+    y1 = c(W6) * (y3 + y2) + c(4)
+    y2, y3 = (y1 - c(W2PW6) * y2) >> c(3), (y1 + c(W2MW6) * y3) >> c(3)
+    y1, y4 = y4 + y6, y4 - y6
+    y6, y5 = y5 + y7, y5 - y7
+    y7, y8 = y8 + y3, y8 - y3
+    y3, y0 = y0 + y2, y0 - y2
+    y2 = (c(R2) * (y4 + y5) + c(128)) >> c(8)
+    y4 = (c(R2) * (y4 - y5) + c(128)) >> c(8)
+    return [
+        (y7 + y1) >> c(14), (y3 + y2) >> c(14), (y0 + y4) >> c(14), (y8 + y6) >> c(14),
+        (y8 - y6) >> c(14), (y0 - y4) >> c(14), (y3 - y2) >> c(14), (y7 - y1) >> c(14),
+    ]
+
+
+def idct_pallas(blocks, *, block_tile: int = 512, interpret: bool = False):
+    """Pallas TPU entry: blocks [N, 8, 8] int32 -> transformed [N, 8, 8].
+
+    Layout puts the block index on the 128-wide lane dimension: each grid
+    step processes a (8 row, 8 col, block_tile lane) tile, so every VPU op
+    in the unrolled butterfly covers (8, block_tile) int32 lanes with zero
+    padding waste.  The row pass slices columns (``t[:, k, :]``), the
+    column pass re-stacks per-row slices — an in-register 8x8 transpose
+    per lane.  Falls back to the jnp implementation when N isn't tileable.
     """
     import jax
     import jax.numpy as jnp
@@ -205,20 +257,33 @@ def idct_pallas(blocks, *, block_tile: int = 1024, interpret: bool = False):
     n = blocks.shape[0]
     if n == 0 or n % block_tile != 0:
         return idct_batch_jax(blocks)
+    g = n // block_tile
 
     def kernel(in_ref, out_ref):
-        y = _row_pass(in_ref[:], jnp)
-        out_ref[:] = _col_pass(y, jnp)
+        t = in_ref[0]  # (8, 8, L): (row, col, lane)
+        cols = [t[:, k, :] for k in range(8)]  # each (8, L)
+        r = _butterfly_row_list(cols, jnp)  # r[k] = col k, (8 rows, L)
+        rows = [
+            jnp.stack([r[k][j, :] for k in range(8)], axis=0) for j in range(8)
+        ]  # rows[j] = (8 cols, L)
+        o = _butterfly_col_list(rows, jnp)  # o[j] = row j, (8 cols, L)
+        out_ref[0] = jnp.stack(o, axis=0)  # (row, col, lane)
 
-    return pl.pallas_call(
+    arr = jnp.transpose(
+        blocks.astype(jnp.int32).reshape(g, block_tile, 8, 8), (0, 2, 3, 1)
+    )
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 8, 8), jnp.int32),
-        grid=(n // block_tile,),
+        out_shape=jax.ShapeDtypeStruct((g, 8, 8, block_tile), jnp.int32),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((block_tile, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, 8, 8, block_tile), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=pl.BlockSpec(
-            (block_tile, 8, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, 8, block_tile), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(blocks.astype(jnp.int32))
+    )(arr)
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(n, 8, 8)
