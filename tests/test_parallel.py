@@ -98,6 +98,68 @@ def test_pack_sparse_roundtrip(jpeg_420):
         assert np.array_equal(vals, flat[flat != 0].astype(np.int16))
 
 
+def test_native_flat_batch_parity(jpeg_420, want_rgb):
+    """Native whole-batch front-end + single-buffer transfer + device
+    carve/unpack/permute must decode bit-identically."""
+    from zpix_tpu import runtime
+    from zpix_tpu.parallel.batch import (
+        NativeBatchFrontEnd,
+        decode_batch_ycbcr_flat,
+    )
+
+    if runtime.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    import jax
+
+    B = 2
+    fe = NativeBatchFrontEnd(jpeg_420, B, 2)
+    fe.parse([jpeg_420] * B)
+    q = [np.stack([fe.quants[c][0]] * B) for c in range(3)]
+    by, bx = fe.myy * fe.hv[0][1], fe.mxx * fe.hv[0][0]
+    cby, cbx = fe.myy * fe.hv[1][1], fe.mxx * fe.hv[1][0]
+    out = np.asarray(
+        decode_batch_ycbcr_flat(
+            jax.device_put(fe.buffer), q[0], q[1], q[2],
+            height=fe.height, width=fe.width, ratio=fe.ratio,
+            by=by, bx=bx, cby=cby, cbx=cbx,
+            layout=tuple(fe.layout), batch=B,
+            perm_y=fe.perm_y, perm_c=fe.perm_c,
+        )
+    )
+    for i in range(B):
+        assert np.array_equal(out[i], want_rgb)
+
+
+def test_parse_packed_native_corpus(testdata):
+    """Native fused parse (stream order + perm) matches the Python
+    front-end's grid-order coefficients on every baseline corpus file."""
+    import glob
+
+    from zpix_tpu import runtime
+    from zpix_tpu.parallel.batch import parse_coefficients, parse_packed_native
+
+    if runtime.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    checked = 0
+    for path in sorted(glob.glob(os.path.join(testdata, "*.jpeg"))):
+        with open(path, "rb") as f:
+            data = f.read()
+        p = parse_packed_native(data)
+        if p is None:
+            continue
+        fe = parse_coefficients(data)
+        for c in range(p.ncomp):
+            flat = fe.coeffs[c].reshape(-1, 64)
+            bits = np.unpackbits(p.bitmaps[c], axis=1)
+            got = np.zeros_like(flat)
+            got[bits.astype(bool)] = p.vals[c]
+            if p.perms[c] is not None:
+                got = got[p.perms[c]]
+            assert np.array_equal(got, flat), (path, c)
+        checked += 1
+    assert checked >= 10
+
+
 PNG_BATCH_CASES = [
     ("tc8", "png/basn2c08.png"),
     ("tca8", "png/basn6a08.png"),

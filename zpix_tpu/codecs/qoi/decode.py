@@ -64,6 +64,25 @@ def decode(data: bytes) -> RGBAImage:
     pixel_count = width * height
     chunks_len = len(data) - QOI_PADDING_SIZE
 
+    # Native fast path (zpix_tpu/runtime/qoi.cpp), identical semantics.
+    from ... import runtime
+
+    lib = runtime.get_lib()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty((height, width, 4), np.uint8)
+        rc = lib.zpix_qoi_decode(
+            data,
+            len(data),
+            pixel_count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc == 0:
+            return RGBAImage(out, Rectangle.init(0, 0, width, height))
+        if rc == 2:
+            raise UnexpectedEof("qoi: truncated op stream")
+
     # Per-op serial scan; runs recorded as counts and expanded vectorized.
     colors: list[int] = []  # packed 0xRRGGBBAA per emission group
     counts: list[int] = []

@@ -43,8 +43,32 @@ def encode(pixels, desc: Desc) -> bytes:
     if len(pix) < n * desc.channels:
         raise FormatError("qoi: pixel buffer too small")
 
+    header = struct.pack(
+        ">IIIBB", 0x716F6966, desc.width, desc.height, desc.channels, desc.colorspace
+    )
+
+    # Native fast path (zpix_tpu/runtime/qoi.cpp), identical op emission.
+    from ... import runtime
+
+    lib = runtime.get_lib()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(pix[: n * desc.channels])
+        cap = n * (desc.channels + 1) + 22
+        buf = np.empty(cap, np.uint8)
+        written = lib.zpix_qoi_encode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            desc.channels,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+        )
+        if written >= 0:
+            return header + buf[:written].tobytes() + _PADDING
+
     out = bytearray()
-    out += struct.pack(">IIIBB", 0x716F6966, desc.width, desc.height, desc.channels, desc.colorspace)
+    out += header
 
     index = [0] * 64
     pr, pg, pb, pa = 0, 0, 0, 255

@@ -133,11 +133,18 @@ def decode_batch_gray(cy, qy, *, height, width):
 
 
 class PackedFrontEnd:
-    """Sparse-packed per-image front-end output (native full parser)."""
+    """Sparse-packed per-image front-end output (native full parser).
 
-    __slots__ = ("width", "height", "ratio", "ncomp", "bitmaps", "vals", "quants", "hv")
+    Blocks are in *stream* (MCU-interleaved) order; ``perms[c]`` maps grid
+    index -> stream index (None when stream order == grid order), applied
+    on-device after unpacking.
+    """
 
-    def __init__(self, width, height, ratio, ncomp, bitmaps, vals, quants, hv):
+    __slots__ = (
+        "width", "height", "ratio", "ncomp", "bitmaps", "vals", "quants", "hv", "perms"
+    )
+
+    def __init__(self, width, height, ratio, ncomp, bitmaps, vals, quants, hv, perms):
         self.width = width
         self.height = height
         self.ratio = ratio
@@ -146,6 +153,34 @@ class PackedFrontEnd:
         self.vals = vals  # list of int16[nnz]
         self.quants = quants  # list of [64] int32 natural order
         self.hv = hv
+        self.perms = perms
+
+
+_PERM_CACHE: dict = {}
+
+
+def stream_perm(mxx: int, myy: int, hi: int, vi: int):
+    """grid->stream index map for one component of an interleaved scan.
+
+    Stream order is (my, mx, j) with by = vi*my + j//hi, bx = hi*mx + j%hi
+    (decoder.zig:1327-1329); returns None when that equals row-major grid
+    order (hi == vi == 1, or a single-MCU column/row special case).
+    """
+    if hi == 1 and vi == 1:
+        return None
+    key = (mxx, myy, hi, vi)
+    if key not in _PERM_CACHE:
+        j = np.arange(hi * vi)
+        my, mx, jj = np.meshgrid(
+            np.arange(myy), np.arange(mxx), j, indexing="ij"
+        )
+        by = vi * my + jj // hi
+        bx = hi * mx + jj % hi
+        grid_of_stream = (by * (mxx * hi) + bx).reshape(-1)
+        inv = np.empty_like(grid_of_stream)
+        inv[grid_of_stream] = np.arange(len(grid_of_stream))
+        _PERM_CACHE[key] = inv.astype(np.int32)
+    return _PERM_CACHE[key]
 
 
 def _peek_sof(data: bytes):
@@ -246,6 +281,7 @@ def parse_packed_native(data: bytes):
         [vals[i][: nnz[i]] for i in range(nc)],
         [quant_nat[i] for i in range(nc)],
         hv,
+        [stream_perm(mxx, myy, hv[i][0], hv[i][1]) for i in range(nc)],
     )
 
 
@@ -254,9 +290,19 @@ class NativeBatchFrontEnd:
 
     Parses N same-geometry baseline JPEGs into persistent sparse-packed
     buffers (reused across steps — zero allocation in steady state).
+
+    With ``flat=True`` every output lives inside ONE contiguous uint8
+    buffer (bitmaps then int16 values at fixed offsets), so the whole
+    batch ships to the device in a single transfer — on high-latency
+    links (e.g. a tunneled chip) per-transfer round trips dominate, not
+    bandwidth.  Value capacity is fixed at ``val_cap_frac`` of dense
+    (default 1/8 = 12.5% density); denser images raise and should use the
+    non-flat path.
     """
 
-    def __init__(self, sample: bytes, batch: int, n_threads: int | None = None):
+    VAL_CAP_FRAC = 8  # cap = nb * 64 / VAL_CAP_FRAC values per image
+
+    def __init__(self, sample: bytes, batch: int, n_threads: int | None = None, flat: bool = True):
         import ctypes
         import os as _os
 
@@ -277,19 +323,74 @@ class NativeBatchFrontEnd:
         self.batch = batch
         self.n_threads = n_threads or (_os.cpu_count() or 2)
 
+        self.flat = flat
         self.nb = []
-        self.bitmaps = []
-        self.vals = []
-        self.quants = []
+        self.val_caps = []
+        sample_nnz = None
+        if flat:
+            # Size value capacity from the sample image's actual density
+            # (2x headroom), floored at 1/8 dense; denser batch members
+            # raise cleanly and should use the non-flat path.
+            p = parse_packed_native(sample)
+            if p is not None:
+                sample_nnz = [len(v) for v in p.vals]
         for c in range(self.ncomp):
             hi, vi = self.hv[c]
             nb = self.mxx * hi * self.myy * vi
             self.nb.append(nb)
-            self.bitmaps.append(np.empty((batch, nb, 8), np.uint8))
-            self.vals.append(np.empty((batch, nb * 64), np.int16))
+            if flat:
+                cap = nb * 64 // self.VAL_CAP_FRAC
+                if sample_nnz is not None:
+                    cap = max(cap, 2 * sample_nnz[c])
+                cap = min((cap + 511) // 512 * 512, nb * 64)
+            else:
+                cap = nb * 64
+            self.val_caps.append(cap)
+
+        self.bitmaps = []
+        self.vals = []
+        self.quants = []
+        if flat:
+            # One contiguous transfer buffer: [bitmaps per comp][vals per
+            # comp], every section per-image contiguous, 64-byte aligned.
+            self.layout = []  # (kind, comp, offset, nbytes)
+            off = 0
+            for c in range(self.ncomp):
+                nbytes = batch * self.nb[c] * 8
+                self.layout.append(("bm", c, off, nbytes))
+                off += (nbytes + 63) // 64 * 64
+            for c in range(self.ncomp):
+                nbytes = batch * self.val_caps[c] * 2
+                self.layout.append(("val", c, off, nbytes))
+                off += (nbytes + 63) // 64 * 64
+            self.buffer = np.zeros(off, np.uint8)
+            for kind, c, o, nbytes in self.layout:
+                if kind == "bm":
+                    self.bitmaps.append(
+                        self.buffer[o : o + nbytes].reshape(batch, self.nb[c], 8)
+                    )
+                else:
+                    self.vals.append(
+                        self.buffer[o : o + nbytes].view(np.int16).reshape(
+                            batch, self.val_caps[c]
+                        )
+                    )
+        else:
+            for c in range(self.ncomp):
+                self.bitmaps.append(np.empty((batch, self.nb[c], 8), np.uint8))
+                self.vals.append(np.empty((batch, self.val_caps[c]), np.int16))
+        for c in range(self.ncomp):
             self.quants.append(np.empty((batch, 64), np.int32))
         self.nnz = np.empty((batch, 3), np.int64)
         self.rcs = np.empty(batch, np.int32)
+        # Y blocks arrive in MCU-interleaved stream order; device unpacking
+        # applies this grid->stream gather (None = already row-major).
+        self.perm_y = stream_perm(self.mxx, self.myy, self.hv[0][0], self.hv[0][1])
+        self.perm_c = (
+            stream_perm(self.mxx, self.myy, self.hv[1][0], self.hv[1][1])
+            if self.ncomp >= 3
+            else None
+        )
 
         if self.ncomp == 1:
             self.ratio = "gray"
@@ -301,11 +402,8 @@ class NativeBatchFrontEnd:
                 0x22: "420", 0x41: "411", 0x42: "410",
             }[(hr << 4) | vr]
 
-    def __call__(self, datas: list[bytes]):
-        """Parse the batch in place; returns (bitmaps, vals_sliced, quants).
-
-        vals_sliced is [B, max_nnz_rounded] per component.
-        """
+    def parse(self, datas: list[bytes]) -> None:
+        """Parse the batch into the persistent buffers (one C call)."""
         ct = self._ctypes
         b = len(datas)
         if b != self.batch:
@@ -321,7 +419,7 @@ class NativeBatchFrontEnd:
             bm_ptrs[c] = self.bitmaps[c].ctypes.data_as(ct.POINTER(ct.c_uint8))
             val_ptrs[c] = self.vals[c].ctypes.data_as(ct.POINTER(ct.c_int16))
             q_ptrs[c] = self.quants[c].ctypes.data_as(ct.POINTER(ct.c_int32))
-            caps[c] = self.nb[c] * 64
+            caps[c] = self.val_caps[c]
             strides[c] = self.nb[c] * 8
         rc = self.lib.zpix_parse_baseline_batch(
             data_ptrs, lens, b, self.width, self.height, self.ncomp,
@@ -331,15 +429,24 @@ class NativeBatchFrontEnd:
             self.n_threads,
         )
         if rc != 0:
-            raise RuntimeError(f"native batch front-end failed: rc={rc}")
+            raise RuntimeError(
+                f"native batch front-end failed: rc={rc} "
+                "(dense image exceeding the value cap? use the non-flat path)"
+            )
+
+    def __call__(self, datas: list[bytes]):
+        """Parse + return (bitmaps, vals_sliced, quants) for per-array
+        transfer.  vals_sliced is [B, max_nnz_rounded] per component."""
+        self.parse(datas)
         vals_sliced = []
         for c in range(self.ncomp):
             cap = int(self.nnz[:, c].max())
             cap = max(512, (cap + 511) // 512 * 512)
+            cap = min(cap, self.val_caps[c])
             v = self.vals[c][:, :cap].copy()
             # zero the padding tail per row (stale values are masked out by
             # the bitmap on device, but keep transfers deterministic)
-            for i in range(b):
+            for i in range(len(datas)):
                 v[i, int(self.nnz[i, c]):] = 0
             vals_sliced.append(v)
         return self.bitmaps, vals_sliced, self.quants
@@ -394,16 +501,32 @@ def _unpack_sparse_graph(jnp, bitmap, vals, bv: int, bh: int):
     return coeff.reshape(b, bv, bh, 64)
 
 
+def _apply_perm(jnp, coeff, perm, bv, bx):
+    if perm is None:
+        return coeff
+    return jnp.take(coeff.reshape(coeff.shape[0], -1, 64), perm, axis=1).reshape(
+        coeff.shape[0], bv, bx, 64
+    )
+
+
 def _ycbcr_graph_packed(
-    bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr,
+    bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr, perm_y, perm_c,
     *, height, width, ratio, by, bx, cby, cbx,
 ):
-    """Packed-transfer variant of _ycbcr_graph (static block-grid dims)."""
+    """Packed-transfer variant of _ycbcr_graph (static block-grid dims).
+
+    perm_y / perm_c (grid->stream gathers, or None) reorder blocks emitted
+    in MCU-interleaved stream order by the native front-end.
+    """
     import jax.numpy as jnp
 
-    cy = _unpack_sparse_graph(jnp, bm_y, v_y, by, bx)
-    ccb = _unpack_sparse_graph(jnp, bm_cb, v_cb, cby, cbx)
-    ccr = _unpack_sparse_graph(jnp, bm_cr, v_cr, cby, cbx)
+    cy = _apply_perm(jnp, _unpack_sparse_graph(jnp, bm_y, v_y, by, bx), perm_y, by, bx)
+    ccb = _apply_perm(
+        jnp, _unpack_sparse_graph(jnp, bm_cb, v_cb, cby, cbx), perm_c, cby, cbx
+    )
+    ccr = _apply_perm(
+        jnp, _unpack_sparse_graph(jnp, bm_cr, v_cr, cby, cbx), perm_c, cby, cbx
+    )
     return _ycbcr_graph(
         cy, ccb, ccr, qy, qcb, qcr, height=height, width=width, ratio=ratio
     )
@@ -411,15 +534,61 @@ def _ycbcr_graph_packed(
 
 def decode_batch_ycbcr_packed(
     bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr,
-    *, height, width, ratio, by, bx, cby, cbx,
+    *, height, width, ratio, by, bx, cby, cbx, perm_y=None, perm_c=None,
 ):
     return _jitted(
         "ycbcr_packed",
         _ycbcr_graph_packed,
         ("height", "width", "ratio", "by", "bx", "cby", "cbx"),
     )(
-        bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr,
+        bm_y, v_y, bm_cb, v_cb, bm_cr, v_cr, qy, qcb, qcr, perm_y, perm_c,
         height=height, width=width, ratio=ratio, by=by, bx=bx, cby=cby, cbx=cbx,
+    )
+
+
+def _ycbcr_graph_flat(
+    buffer, qy, qcb, qcr, perm_y, perm_c,
+    *, height, width, ratio, by, bx, cby, cbx, layout, batch,
+):
+    """Single-transfer variant: one uint8 buffer carved on device.
+
+    layout: static tuple of ("bm"|"val", comp, offset, nbytes) describing
+    the NativeBatchFrontEnd flat buffer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bms = [None] * 3
+    vls = [None] * 3
+    for kind, c, off, nbytes in layout:
+        seg = jax.lax.slice(buffer, (off,), (off + nbytes,))
+        if kind == "bm":
+            bms[c] = seg.reshape(batch, -1, 8)
+        else:
+            vls[c] = jax.lax.bitcast_convert_type(
+                seg.reshape(batch, -1, 2), jnp.int16
+            )
+    cy = _apply_perm(jnp, _unpack_sparse_graph(jnp, bms[0], vls[0], by, bx), perm_y, by, bx)
+    ccb = _apply_perm(jnp, _unpack_sparse_graph(jnp, bms[1], vls[1], cby, cbx), perm_c, cby, cbx)
+    ccr = _apply_perm(jnp, _unpack_sparse_graph(jnp, bms[2], vls[2], cby, cbx), perm_c, cby, cbx)
+    return _ycbcr_graph(
+        cy, ccb, ccr, qy, qcb, qcr, height=height, width=width, ratio=ratio
+    )
+
+
+def decode_batch_ycbcr_flat(
+    buffer, qy, qcb, qcr,
+    *, height, width, ratio, by, bx, cby, cbx, layout, batch,
+    perm_y=None, perm_c=None,
+):
+    return _jitted(
+        "ycbcr_flat",
+        _ycbcr_graph_flat,
+        ("height", "width", "ratio", "by", "bx", "cby", "cbx", "layout", "batch"),
+    )(
+        buffer, qy, qcb, qcr, perm_y, perm_c,
+        height=height, width=width, ratio=ratio,
+        by=by, bx=bx, cby=cby, cbx=cbx, layout=layout, batch=batch,
     )
 
 

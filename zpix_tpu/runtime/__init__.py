@@ -18,9 +18,13 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_HERE, "entropy.cpp"), os.path.join(_HERE, "defilter.cpp")]
+_SRCS = [
+    os.path.join(_HERE, "entropy.cpp"),
+    os.path.join(_HERE, "defilter.cpp"),
+    os.path.join(_HERE, "qoi.cpp"),
+]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 5
+_ABI_VERSION = 7
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -137,6 +141,21 @@ def get_lib():
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+            ]
+            lib.zpix_qoi_decode.restype = ctypes.c_int
+            lib.zpix_qoi_decode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.zpix_qoi_encode.restype = ctypes.c_int64
+            lib.zpix_qoi_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64,
             ]
             lib.zpix_defilter.restype = ctypes.c_int

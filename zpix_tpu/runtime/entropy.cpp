@@ -60,108 +60,109 @@ struct ScanComp {
   int32_t bh;        // block-grid width (mxx * h): coeff row stride /64
 };
 
+// Eager 64-bit bit reader (libjpeg-turbo style refill).
+//
+// Differs from the reference's demand-driven one-byte-at-a-time reader
+// only in *how far ahead* raw bytes are buffered; decoded symbols are
+// identical.  At segment boundaries (restart markers, scan end) all whole
+// unconsumed bytes are rewound via a unit-cost ring (stuffed FF00 pairs
+// cost 2), which lands at-or-before the position the reference's
+// unread-prologue reaches; both then converge through the marker-resync /
+// extraneous-byte-skip paths, so well-formed streams produce identical
+// output and the reference's corrupt-stream error matrix is preserved
+// (validated by the RST corruption tests running through this path).
 struct BitReader {
   const uint8_t* data;
   int64_t len;
   int64_t pos;
-  uint32_t a;  // accumulator
-  uint32_t m;  // mask
-  int32_t n;   // bit count
-  int32_t num_unreadable;
-  int err;
+  uint64_t a;   // accumulator, top `n` bits valid at (a >> (n-k))
+  int32_t n;    // buffered bit count
+  int stop_err;  // 0 while refillable; ERR_MISSING_FF00/ERR_EOF at boundary
+  uint8_t costs[8];  // ring: raw-byte cost of each buffered unit (1 or 2)
+  uint32_t cost_idx;
 
-  inline int read_stuffed() {
-    if (pos >= len) {
-      num_unreadable = 0;
-      err = ERR_EOF;
-      return -1;
-    }
-    uint8_t x = data[pos++];
-    num_unreadable = 1;
-    if (x != 0xFF) return x;
-    if (pos >= len) {
-      num_unreadable = 0;
-      err = ERR_EOF;
-      return -1;
-    }
-    if (data[pos] != 0x00) {
-      err = ERR_MISSING_FF00;
-      return -1;
-    }
-    pos++;
-    num_unreadable = 2;
-    return 0xFF;
-  }
-
-  inline void unread_stuffed() {
-    pos -= num_unreadable;
-    num_unreadable = 0;
-    if (n >= 8) {
-      a >>= 8;
-      n -= 8;
-      m >>= 8;
-    }
-  }
-
-  inline bool ensure_bits(int32_t want) {
-    while (true) {
-      int c = read_stuffed();
-      if (c < 0) return false;
-      a = (a << 8) | uint32_t(c);
+  inline void refill() {
+    while (n <= 48 && stop_err == OK) {
+      if (pos >= len) {
+        stop_err = ERR_EOF;
+        return;
+      }
+      uint8_t x = data[pos];
+      uint8_t cost = 1;
+      if (x == 0xFF) {
+        if (pos + 1 >= len) {
+          stop_err = ERR_EOF;
+          return;
+        }
+        if (data[pos + 1] != 0x00) {
+          stop_err = ERR_MISSING_FF00;
+          return;
+        }
+        cost = 2;
+      }
+      pos += cost;
+      costs[cost_idx++ & 7] = cost;
+      a = (a << 8) | uint64_t(x);
       n += 8;
-      m = (m == 0) ? (1u << 7) : (m << 8);
-      if (n >= want) return true;
     }
+  }
+
+  // Rewind every whole unconsumed unit; leftover sub-byte bits are
+  // discarded (the reference discards them too, see decoder.zig:417-423).
+  inline void rewind_to_boundary() {
+    int32_t units = n >> 3;
+    for (int32_t k = 0; k < units; k++) {
+      cost_idx--;
+      pos -= costs[cost_idx & 7];
+    }
+    a = 0;
+    n = 0;
+    stop_err = OK;
   }
 
   inline int decode_bit(int* out) {
-    if (n == 0 && !ensure_bits(1)) return err;
-    *out = (a & m) != 0;
+    if (n == 0) {
+      refill();
+      if (n == 0) return stop_err;
+    }
     n -= 1;
-    m >>= 1;
+    *out = (a >> n) & 1;
     return OK;
   }
 
   inline int decode_bits(int32_t count, uint32_t* out) {
-    if (n < count && !ensure_bits(count)) return err;
-    *out = (a >> (n - count)) & ((1u << count) - 1);
+    if (n < count) {
+      refill();
+      if (n < count) return stop_err;
+    }
     n -= count;
-    m >>= count;
+    *out = uint32_t(a >> n) & ((1u << count) - 1);
     return OK;
   }
 
   inline int receive_extend(int t, int32_t* out) {
-    if (n < t && !ensure_bits(t)) return err;
+    if (n < t) {
+      refill();
+      if (n < t) return stop_err;
+    }
     n -= t;
-    m >>= t;
     int32_t threshold = 1 << t;
-    int32_t value = int32_t((a >> n) & uint32_t(threshold - 1));
+    int32_t value = int32_t((a >> n) & uint64_t(threshold - 1));
     if (value < (threshold >> 1)) value += ((-1) << t) + 1;
     *out = value;
     return OK;
   }
 
-  int decode_huffman(const HuffTable* h, int* out) {
+  inline int decode_huffman(const HuffTable* h, int* out) {
     if (h->num_codes == 0) return ERR_UNINIT_TABLE;
-    if (n < 8) {
-      if (!ensure_bits(8)) {
-        if (err == ERR_MISSING_FF00) {
-          // End of segment: unread and take the slow path
-          // (decoder.zig:915-928).
-          err = OK;
-          if (num_unreadable != 0) unread_stuffed();
-          return decode_huffman_slow(h, out);
-        }
-        return err;
+    if (n < 16) refill();
+    if (n >= 8) {
+      uint16_t v = h->lut[uint32_t(a >> (n - 8)) & 0xFF];
+      if (v != 0) {
+        n -= int(v & 0xFF) - 1;
+        *out = v >> 8;
+        return OK;
       }
-    }
-    uint16_t v = h->lut[(a >> (n - 8)) & 0xFF];
-    if (v != 0) {
-      int nbits = int(v & 0xFF) - 1;
-      n -= nbits;
-      m >>= nbits;
-      *out = v >> 8;
-      return OK;
     }
     return decode_huffman_slow(h, out);
   }
@@ -169,10 +170,12 @@ struct BitReader {
   int decode_huffman_slow(const HuffTable* h, int* out) {
     int32_t code = 0;
     for (int i = 0; i < kMaxCodeLength; i++) {
-      if (n == 0 && !ensure_bits(1)) return err;
-      if (a & m) code |= 1;
+      if (n == 0) {
+        refill();
+        if (n == 0) return stop_err;
+      }
       n -= 1;
-      m >>= 1;
+      code |= (a >> n) & 1;
       if (code <= h->max_codes[i]) {
         *out = h->vals[h->vals_indices[i] + code - h->min_codes[i]];
         return OK;
@@ -182,12 +185,9 @@ struct BitReader {
     return ERR_BAD_HUFFMAN;
   }
 
-  // readFull-style 2-byte read with unread prologue (decoder.zig:414-443).
+  // 2-byte marker read at a segment boundary.
   int read_full2(uint8_t* out) {
-    if (num_unreadable > 0) {
-      if (n >= 8) unread_stuffed();
-      num_unreadable = 0;
-    }
+    rewind_to_boundary();
     if (pos + 2 > len) return ERR_EOF;
     out[0] = data[pos];
     out[1] = data[pos + 1];
@@ -330,7 +330,7 @@ int zpix_decode_scan(
     int32_t** coeff_out,
     uint16_t* eob_run_io,
     int64_t* pos_out, int32_t* bits_n_out, int32_t* num_unreadable_out) {
-  BitReader br{data, len, pos_in, 0, 0, 0, 0, OK};
+  BitReader br{data, len, pos_in, 0, 0, OK, {0}, 0};
   RefineState rs{*eob_run_io};
 
   int32_t dc[4] = {0, 0, 0, 0};
@@ -426,9 +426,8 @@ int zpix_decode_scan(
         expected_rst++;
         if (expected_rst == 0xD8) expected_rst = 0xD0;
         br.a = 0;
-        br.m = 0;
         br.n = 0;
-        br.num_unreadable = 0;
+        br.stop_err = OK;
         dc[0] = dc[1] = dc[2] = dc[3] = 0;
         rs.eob_run = 0;
       }
@@ -436,9 +435,10 @@ int zpix_decode_scan(
   }
 
   *eob_run_io = rs.eob_run;
+  br.rewind_to_boundary();
   *pos_out = br.pos;
-  *bits_n_out = br.n;
-  *num_unreadable_out = br.num_unreadable;
+  *bits_n_out = 0;
+  *num_unreadable_out = 0;
   return OK;
 }
 
@@ -452,27 +452,63 @@ int zpix_decode_scan(
 //
 // Returns the number of nonzero values written (<= cap), or -1 if cap was
 // too small.
+namespace {
+
+// MSB-first bit order within each bitmap byte matches numpy.packbits.
+inline uint8_t bitrev8(uint8_t b) {
+  b = uint8_t((b & 0xF0) >> 4 | (b & 0x0F) << 4);
+  b = uint8_t((b & 0xCC) >> 2 | (b & 0x33) << 2);
+  b = uint8_t((b & 0xAA) >> 1 | (b & 0x55) << 1);
+  return b;
+}
+
+}  // namespace
+
+#if defined(__AVX512F__) && defined(__AVX512VBMI2__)
+#include <immintrin.h>
+#endif
+
 int64_t zpix_pack_sparse(const int32_t* coeff, int64_t nblocks,
                          uint8_t* bitmap_out, int16_t* vals_out,
                          int64_t cap) {
   int64_t n = 0;
+#if defined(__AVX512F__) && defined(__AVX512VBMI2__)
+  // 16 coefficients per iteration: compare -> mask -> narrow ->
+  // vpcompressw compressed store.  64 + popcount bookkeeping per block.
   for (int64_t b = 0; b < nblocks; b++) {
+    if (n + 64 > cap) return -1;
+    const int32_t* blk = coeff + b * 64;
+    uint8_t* bm = bitmap_out + b * 8;
+    for (int q = 0; q < 4; q++) {
+      __m512i v = _mm512_loadu_si512(blk + q * 16);
+      __mmask16 nz = _mm512_test_epi32_mask(v, v);
+      __m256i w = _mm512_cvtepi32_epi16(v);
+      _mm256_mask_compressstoreu_epi16(vals_out + n, nz, w);
+      n += __builtin_popcount(nz);
+      bm[q * 2] = bitrev8(uint8_t(nz & 0xFF));
+      bm[q * 2 + 1] = bitrev8(uint8_t(nz >> 8));
+    }
+  }
+  return n;
+#else
+  for (int64_t b = 0; b < nblocks; b++) {
+    if (n + 64 > cap) return -1;
     const int32_t* blk = coeff + b * 64;
     uint8_t* bm = bitmap_out + b * 8;
     for (int byte = 0; byte < 8; byte++) {
       uint8_t m = 0;
       for (int bit = 0; bit < 8; bit++) {
         int32_t v = blk[byte * 8 + bit];
-        if (v != 0) {
-          m |= uint8_t(0x80 >> bit);
-          if (n >= cap) return -1;
-          vals_out[n++] = int16_t(v);
-        }
+        int nz = v != 0;
+        m |= uint8_t(nz << (7 - bit));
+        vals_out[n] = int16_t(v);
+        n += nz;
       }
       bm[byte] = m;
     }
   }
   return n;
+#endif
 }
 
 namespace {
@@ -533,6 +569,155 @@ int build_huff(HuffTable* h, const uint8_t* counts, const uint8_t* vals,
   return OK;
 }
 
+// Pack one 64-coefficient block: bitmap row + appended values.
+inline int64_t pack_block(const int32_t* blk, uint8_t* bm, int16_t* tail) {
+  int64_t n = 0;
+#if defined(__AVX512F__) && defined(__AVX512VBMI2__)
+  for (int q = 0; q < 4; q++) {
+    __m512i v = _mm512_loadu_si512(blk + q * 16);
+    __mmask16 nz = _mm512_test_epi32_mask(v, v);
+    __m256i w = _mm512_cvtepi32_epi16(v);
+    _mm256_mask_compressstoreu_epi16(tail + n, nz, w);
+    n += __builtin_popcount(nz);
+    bm[q * 2] = bitrev8(uint8_t(nz & 0xFF));
+    bm[q * 2 + 1] = bitrev8(uint8_t(nz >> 8));
+  }
+#else
+  for (int byte = 0; byte < 8; byte++) {
+    uint8_t m = 0;
+    for (int bit = 0; bit < 8; bit++) {
+      int32_t v = blk[byte * 8 + bit];
+      int nz = v != 0;
+      m |= uint8_t(nz << (7 - bit));
+      tail[n] = int16_t(v);
+      n += nz;
+    }
+    bm[byte] = m;
+  }
+#endif
+  return n;
+}
+
+// Sequential scan fused with sparse packing: blocks decode into an
+// L1-resident buffer and emit straight to bitmap+values in *stream order*
+// (the consumer applies a static stream->grid permutation on device),
+// never materializing the dense coefficient tensor.
+int decode_scan_packed(const uint8_t* data, int64_t len, int64_t pos_in,
+                       const HuffTable* huff, const ScanComp* scan,
+                       int32_t n_scan, int32_t mxx, int32_t myy,
+                       int32_t width, int32_t height,
+                       int32_t restart_interval, uint8_t** bitmaps,
+                       int16_t** vals, const int64_t* caps, int64_t* nnz_io,
+                       int64_t* pos_out) {
+  BitReader br{data, len, pos_in, 0, 0, OK, {0}, 0};
+  int32_t dc[4] = {0, 0, 0, 0};
+  uint16_t eob_run = 0;
+  int32_t block_count = 0;
+  int64_t stream_idx[4] = {0, 0, 0, 0};
+  uint8_t expected_rst = 0xD0;
+  int64_t mcu = 0;
+  alignas(64) int32_t blk[64];
+
+  for (int32_t my = 0; my < myy; my++) {
+    for (int32_t mx = 0; mx < mxx; mx++) {
+      for (int32_t k = 0; k < n_scan; k++) {
+        const ScanComp& sc = scan[k];
+        const HuffTable* dc_tab = &huff[sc.dc_table];
+        const HuffTable* ac_tab = &huff[4 + sc.ac_table];
+        for (int32_t j = 0; j < sc.h * sc.v; j++) {
+          if (n_scan == 1) {
+            int32_t bx = block_count % (mxx * sc.h);
+            int32_t by = block_count / (mxx * sc.h);
+            block_count++;
+            if (bx * 8 >= width || by * 8 >= height) {
+              // Out-of-image block: no stream data, but it owns a stream
+              // slot so stream order == grid order when non-interleaved.
+              memset(bitmaps[k] + stream_idx[k] * 8, 0, 8);
+              stream_idx[k]++;
+              continue;
+            }
+          }
+          if (nnz_io[k] + 64 > caps[k]) return ERR_FORMAT;
+          memset(blk, 0, sizeof(blk));
+
+          // DC (decoder.zig:1366-1376).
+          int value;
+          int rc = br.decode_huffman(dc_tab, &value);
+          if (rc != OK) return rc;
+          if (value > 16) return ERR_EXCESSIVE_DC;
+          int32_t dc_delta;
+          rc = br.receive_extend(value, &dc_delta);
+          if (rc != OK) return rc;
+          dc[sc.c_index] += dc_delta;
+          blk[0] = dc[sc.c_index];
+
+          // AC (decoder.zig:1379-1411), zig range 1..63, al == 0.
+          if (eob_run > 0) {
+            eob_run--;
+          } else {
+            int32_t zig = 1;
+            while (zig <= 63) {
+              rc = br.decode_huffman(ac_tab, &value);
+              if (rc != OK) return rc;
+              int val0 = value >> 4;
+              int val1 = value & 0x0F;
+              if (val1 != 0) {
+                zig += val0;
+                if (zig > 63) break;
+                int32_t ac;
+                rc = br.receive_extend(val1, &ac);
+                if (rc != OK) return rc;
+                blk[kUnzig[zig]] = ac;
+              } else {
+                if (val0 != 0x0F) {
+                  eob_run = uint16_t(1u << val0);
+                  if (val0 != 0) {
+                    uint32_t bits;
+                    rc = br.decode_bits(val0, &bits);
+                    if (rc != OK) return rc;
+                    eob_run |= uint16_t(bits);
+                  }
+                  eob_run--;
+                  break;
+                }
+                zig += 0x0F;
+              }
+              zig++;
+            }
+          }
+
+          nnz_io[k] += pack_block(blk, bitmaps[k] + stream_idx[k] * 8,
+                                  vals[k] + nnz_io[k]);
+          stream_idx[k]++;
+        }
+      }
+
+      mcu++;
+      if (restart_interval > 0 && mcu % restart_interval == 0 &&
+          mcu < int64_t(mxx) * myy) {
+        uint8_t tmp2[2];
+        int rc = br.read_full2(tmp2);
+        if (rc != OK) return rc;
+        if (tmp2[0] != 0xFF || tmp2[1] != expected_rst) {
+          rc = find_rst(br, expected_rst, tmp2[0], tmp2[1]);
+          if (rc != OK) return rc;
+        }
+        expected_rst++;
+        if (expected_rst == 0xD8) expected_rst = 0xD0;
+        br.a = 0;
+        br.n = 0;
+        br.stop_err = OK;
+        dc[0] = dc[1] = dc[2] = dc[3] = 0;
+        eob_run = 0;
+      }
+    }
+  }
+
+  br.rewind_to_boundary();
+  *pos_out = br.pos;
+  return OK;
+}
+
 }  // namespace
 
 extern "C" int zpix_decode_scan(
@@ -570,19 +755,11 @@ extern "C" int zpix_parse_baseline(
   int32_t restart_interval = 0;
   bool jfif = false, adobe_valid = false;
   int adobe_transform = 0;
-  uint16_t eob_run = 0;
-
-  // Coefficient tensors, allocated after SOF.
-  int32_t* coeff[4] = {nullptr, nullptr, nullptr, nullptr};
+  bool seen_sos = false;
   int32_t mxx = 0, myy = 0;
   int rc_out = OK;
 
-  auto cleanup = [&]() {
-    for (auto& c : coeff) {
-      delete[] c;
-      c = nullptr;
-    }
-  };
+  auto cleanup = [&]() {};
 
   while (true) {
     if (pos + 2 > len) {
@@ -683,10 +860,6 @@ extern "C" int zpix_parse_baseline(
         }
         mxx = (width + 8 * comp_h[0] - 1) / (8 * comp_h[0]);
         myy = (height + 8 * comp_v[0] - 1) / (8 * comp_v[0]);
-        for (int i = 0; i < ncomp; i++) {
-          int64_t nb = int64_t(mxx) * comp_h[i] * myy * comp_v[i];
-          coeff[i] = new int32_t[nb * 64]();
-        }
         break;
       }
       case 0xC2:  // progressive: Python path
@@ -789,8 +962,17 @@ extern "C" int zpix_parse_baseline(
           cleanup();
           return ERR_FORMAT;
         }
+        if (seen_sos || n_scan != ncomp) {
+          // Multi-scan sequential streams take the Python path.
+          cleanup();
+          return ERR_UNSUPPORTED;
+        }
+        seen_sos = true;
         ScanComp sc[4];
-        int32_t* scan_coeff[4];
+        uint8_t* scan_bm[4];
+        int16_t* scan_vals[4];
+        int64_t scan_caps[4];
+        int64_t scan_nnz[4] = {0, 0, 0, 0};
         for (int i = 0; i < n_scan; i++) {
           int ci = -1;
           for (int j = 0; j < ncomp; j++)
@@ -809,22 +991,22 @@ extern "C" int zpix_parse_baseline(
           sc[i].h = comp_h[ci];
           sc[i].v = comp_v[ci];
           sc[i].bh = mxx * comp_h[ci];
-          scan_coeff[i] = coeff[ci];
+          scan_bm[i] = bitmaps[ci];
+          scan_vals[i] = vals[ci];
+          scan_caps[i] = vals_cap[ci];
         }
         int64_t pos_out;
-        int32_t bits_n_out, unread_out;
         pos += n;  // scan header consumed
-        int rc = zpix_decode_scan(
+        int rc = decode_scan_packed(
             data, len, pos, huff, sc, n_scan, mxx, myy, width, height,
-            restart_interval, 0, 63, 0, 0, 0, scan_coeff, &eob_run, &pos_out,
-            &bits_n_out, &unread_out);
+            restart_interval, scan_bm, scan_vals, scan_caps, scan_nnz,
+            &pos_out);
         if (rc != OK) {
           cleanup();
           return rc;
         }
-        // Mirror the unread prologue the marker loop's next read performs.
+        for (int i = 0; i < n_scan; i++) nnz_out[sc[i].c_index] = scan_nnz[i];
         pos = pos_out;
-        if (unread_out > 0 && bits_n_out >= 8) pos -= unread_out;
         continue;  // pos already advanced
       }
       default:
@@ -837,7 +1019,7 @@ extern "C" int zpix_parse_baseline(
     pos += n;
   }
 
-  if (coeff[0] == nullptr) {
+  if (!seen_sos) {
     cleanup();
     return ERR_FORMAT;
   }
@@ -849,14 +1031,6 @@ extern "C" int zpix_parse_baseline(
     }
     for (int z = 0; z < 64; z++)
       quant_nat[i * 64 + kZigToNat[z]] = quant_zig[comp_tq[i]][z];
-    int64_t nb = int64_t(mxx) * comp_h[i] * myy * comp_v[i];
-    int64_t nz =
-        zpix_pack_sparse(coeff[i], nb, bitmaps[i], vals[i], vals_cap[i]);
-    if (nz < 0) {
-      cleanup();
-      return ERR_FORMAT;
-    }
-    nnz_out[i] = nz;
   }
   cleanup();
   return rc_out;
@@ -916,6 +1090,6 @@ extern "C" int zpix_parse_baseline_batch(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 5; }
+int zpix_entropy_abi_version() { return 7; }
 
 }  // extern "C"
