@@ -160,6 +160,41 @@ def test_parse_packed_native_corpus(testdata):
     assert checked >= 10
 
 
+def test_restart_segment_parallel_decode(testdata):
+    """Intra-image restart-segment parallel scan (the sequence-parallel
+    analog) must produce byte-identical packed output."""
+    from zpix_tpu import runtime
+    from zpix_tpu.parallel.batch import parse_packed_native
+
+    if runtime.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    with open(os.path.join(testdata, "video-001.restart2.jpeg"), "rb") as f:
+        data = f.read()
+    p1 = parse_packed_native(data, 1)
+    p4 = parse_packed_native(data, 4)
+    assert p1 is not None and p4 is not None
+    for c in range(3):
+        assert np.array_equal(p1.bitmaps[c], p4.bitmaps[c])
+        assert np.array_equal(p1.vals[c], p4.vals[c])
+
+
+def test_progressive_batched_decode(testdata):
+    """Progressive streams flow through the batch pipeline (Python
+    front-end + native per-SOS scans) bit-exactly."""
+    from zpix_tpu.color import ycbcr_to_rgb8
+
+    with open(
+        os.path.join(testdata, "video-001.q50.420.progressive.jpeg"), "rb"
+    ) as f:
+        data = f.read()
+    host = jpeg.decode(data)
+    cb, cr = host.upsampled_cbcr()
+    r, g, b = ycbcr_to_rgb8(host.y, cb, cr)
+    want = np.stack([r, g, b], axis=-1)
+    out = np.asarray(BatchJpegDecoder(packed=True).decode([data] * 2))
+    assert np.array_equal(out[0], want)
+
+
 PNG_BATCH_CASES = [
     ("tc8", "png/basn2c08.png"),
     ("tca8", "png/basn6a08.png"),

@@ -216,8 +216,12 @@ def _peek_sof(data: bytes):
     return None
 
 
-def parse_packed_native(data: bytes):
-    """Full native front-end: bytes -> PackedFrontEnd, or None (fallback)."""
+def parse_packed_native(data: bytes, n_threads: int = 1):
+    """Full native front-end: bytes -> PackedFrontEnd, or None (fallback).
+
+    n_threads > 1 enables intra-image restart-segment parallel decoding
+    when the stream carries restart markers.
+    """
     from .. import runtime
 
     lib = runtime.get_lib()
@@ -260,6 +264,7 @@ def parse_packed_native(data: bytes):
         cap_arr,
         quant_nat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         nnz,
+        n_threads,
     )
     if rc != 0:
         return None

@@ -24,7 +24,7 @@ _SRCS = [
     os.path.join(_HERE, "qoi.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 7
+_ABI_VERSION = 8
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -134,6 +134,7 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
             ]
             lib.zpix_pack_sparse.restype = ctypes.c_int64
             lib.zpix_pack_sparse.argtypes = [

@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libzpix_entropy.so entropy.cpp -lpthread
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -602,24 +603,36 @@ inline int64_t pack_block(const int32_t* blk, uint8_t* bm, int16_t* tail) {
 // L1-resident buffer and emit straight to bitmap+values in *stream order*
 // (the consumer applies a static stream->grid permutation on device),
 // never materializing the dense coefficient tensor.
+// `mcu_begin`/`mcu_end` select an MCU range (a restart segment when
+// segment-parallel; the full image otherwise).  `handle_restarts` is off
+// for segment workers — each segment is its own entropy-coded interval
+// with fresh DC predictors (decoder.zig:1446-1451).
 int decode_scan_packed(const uint8_t* data, int64_t len, int64_t pos_in,
                        const HuffTable* huff, const ScanComp* scan,
                        int32_t n_scan, int32_t mxx, int32_t myy,
                        int32_t width, int32_t height,
                        int32_t restart_interval, uint8_t** bitmaps,
                        int16_t** vals, const int64_t* caps, int64_t* nnz_io,
-                       int64_t* pos_out) {
+                       int64_t* pos_out, int64_t mcu_begin, int64_t mcu_end,
+                       bool handle_restarts) {
   BitReader br{data, len, pos_in, 0, 0, OK, {0}, 0};
   int32_t dc[4] = {0, 0, 0, 0};
   uint16_t eob_run = 0;
-  int32_t block_count = 0;
-  int64_t stream_idx[4] = {0, 0, 0, 0};
-  uint8_t expected_rst = 0xD0;
-  int64_t mcu = 0;
+  int64_t stream_idx[4];
+  int32_t block_count;
+  {
+    block_count = int32_t(mcu_begin * scan[0].h * scan[0].v);
+    for (int32_t k = 0; k < n_scan; k++)
+      stream_idx[k] = mcu_begin * scan[k].h * scan[k].v;
+  }
+  uint8_t expected_rst =
+      0xD0 +
+      uint8_t((mcu_begin / (restart_interval > 0 ? restart_interval : 1)) & 7);
+  int64_t mcu = mcu_begin;
   alignas(64) int32_t blk[64];
 
-  for (int32_t my = 0; my < myy; my++) {
-    for (int32_t mx = 0; mx < mxx; mx++) {
+  for (; mcu < mcu_end;) {
+    {
       for (int32_t k = 0; k < n_scan; k++) {
         const ScanComp& sc = scan[k];
         const HuffTable* dc_tab = &huff[sc.dc_table];
@@ -693,8 +706,8 @@ int decode_scan_packed(const uint8_t* data, int64_t len, int64_t pos_in,
       }
 
       mcu++;
-      if (restart_interval > 0 && mcu % restart_interval == 0 &&
-          mcu < int64_t(mxx) * myy) {
+      if (handle_restarts && restart_interval > 0 &&
+          mcu % restart_interval == 0 && mcu < int64_t(mxx) * myy) {
         uint8_t tmp2[2];
         int rc = br.read_full2(tmp2);
         if (rc != OK) return rc;
@@ -718,6 +731,121 @@ int decode_scan_packed(const uint8_t* data, int64_t len, int64_t pos_in,
   return OK;
 }
 
+// Segment-parallel wrapper: when the stream carries restart markers, each
+// restart interval is an independent entropy segment (fresh bit state, DC
+// predictors, EOB run — decoder.zig:1432-1452), so segments decode on a
+// thread pool and values compact back to stream order afterwards.  This
+// is the intra-image sequence-parallel axis (SURVEY.md sec.2.7): the same
+// split that shards MCU-row stripes across devices shards segments across
+// host cores.  Returns ERR_UNSUPPORTED when markers are missing/misplaced
+// (caller falls back to the serial exact path).
+int decode_scan_packed_mt(const uint8_t* data, int64_t len, int64_t pos_in,
+                          const HuffTable* huff, const ScanComp* scan,
+                          int32_t n_scan, int32_t mxx, int32_t myy,
+                          int32_t width, int32_t height,
+                          int32_t restart_interval, uint8_t** bitmaps,
+                          int16_t** vals, const int64_t* caps,
+                          int64_t* nnz_io, int64_t* pos_out,
+                          int32_t n_threads) {
+  int64_t total_mcus = int64_t(mxx) * myy;
+  if (restart_interval <= 0 || n_threads <= 1 ||
+      total_mcus <= restart_interval) {
+    return decode_scan_packed(data, len, pos_in, huff, scan, n_scan, mxx,
+                              myy, width, height, restart_interval, bitmaps,
+                              vals, caps, nnz_io, pos_out, 0, total_mcus,
+                              true);
+  }
+
+  // Locate segment starts: RSTn markers cannot appear inside entropy data
+  // (0xFF is always stuffed as FF00), so a byte scan finds exact splits.
+  int64_t n_segs = (total_mcus + restart_interval - 1) / restart_interval;
+  std::vector<int64_t> seg_start(n_segs);
+  seg_start[0] = pos_in;
+  {
+    int64_t s = 1;
+    uint8_t expect = 0xD0;
+    for (int64_t p = pos_in; p + 1 < len && s < n_segs; p++) {
+      if (data[p] == 0xFF) {
+        uint8_t m = data[p + 1];
+        if (m >= 0xD0 && m <= 0xD7) {
+          if (m != expect) return ERR_UNSUPPORTED;  // misordered: serial path
+          seg_start[s++] = p + 2;
+          expect = (expect == 0xD7) ? 0xD0 : expect + 1;
+          p++;
+        } else if (m != 0x00) {
+          break;  // non-RST marker: end of scan data
+        }
+      }
+    }
+    if (s != n_segs) return ERR_UNSUPPORTED;
+  }
+
+  // Per-segment scratch for values (unknown per-segment nnz); bitmaps
+  // write directly at their stream offsets.
+  std::vector<std::vector<int16_t>> seg_vals(n_segs);
+  std::vector<std::vector<int64_t>> seg_nnz(n_segs);
+  std::vector<int> seg_rc(n_segs, OK);
+  std::vector<int64_t> seg_pos(n_segs, 0);
+  std::atomic<int64_t> next{0};
+
+  auto worker = [&]() {
+    while (true) {
+      int64_t s = next.fetch_add(1);
+      if (s >= n_segs) return;
+      int64_t mb = s * restart_interval;
+      int64_t me = std::min(total_mcus, mb + restart_interval);
+      int64_t blocks = 0;
+      for (int32_t k = 0; k < n_scan; k++)
+        blocks += (me - mb) * scan[k].h * scan[k].v;
+      seg_vals[s].resize(blocks * 64);
+      seg_nnz[s].assign(4, 0);
+      int16_t* sv[4];
+      int64_t sc_caps[4];
+      int64_t scratch_off = 0;
+      for (int32_t k = 0; k < n_scan; k++) {
+        int64_t cap_k = (me - mb) * scan[k].h * scan[k].v * 64;
+        sv[k] = seg_vals[s].data() + scratch_off;
+        sc_caps[k] = cap_k;
+        scratch_off += cap_k;
+      }
+      seg_rc[s] = decode_scan_packed(
+          data, len, seg_start[s], huff, scan, n_scan, mxx, myy, width,
+          height, restart_interval, bitmaps, sv, sc_caps,
+          seg_nnz[s].data(), &seg_pos[s], mb, me, false);
+      // Rebase: sv[k] points at scratch, but decode_scan_packed indexed
+      // vals[k] + nnz (starting at 0) so values are already contiguous
+      // per component within the scratch.
+    }
+  };
+  {
+    std::vector<std::thread> threads;
+    int nt = int(std::min<int64_t>(n_threads, n_segs));
+    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  for (int64_t s = 0; s < n_segs; s++)
+    if (seg_rc[s] != OK) return seg_rc[s];
+
+  // Compact per-segment values into the global stream-order arrays.
+  for (int32_t k = 0; k < n_scan; k++) nnz_io[k] = 0;
+  for (int64_t s = 0; s < n_segs; s++) {
+    int64_t mb = s * restart_interval;
+    int64_t me = std::min(total_mcus, mb + restart_interval);
+    int64_t scratch_off = 0;
+    for (int32_t k = 0; k < n_scan; k++) {
+      int64_t cap_k = (me - mb) * scan[k].h * scan[k].v * 64;
+      int64_t cnt = seg_nnz[s][k];
+      if (nnz_io[k] + cnt > caps[k]) return ERR_FORMAT;
+      memcpy(vals[k] + nnz_io[k], seg_vals[s].data() + scratch_off,
+             cnt * sizeof(int16_t));
+      nnz_io[k] += cnt;
+      scratch_off += cap_k;
+    }
+  }
+  *pos_out = seg_pos[n_segs - 1];  // resume the marker loop after the
+  return OK;                        // final segment's entropy data
+}
+
 }  // namespace
 
 extern "C" int zpix_decode_scan(
@@ -739,7 +867,7 @@ extern "C" int zpix_parse_baseline(
     const uint8_t* data, int64_t len,
     int32_t expect_width, int32_t expect_height,
     uint8_t** bitmaps, int16_t** vals, const int64_t* vals_cap,
-    int32_t* quant_nat, int64_t* nnz_out) {
+    int32_t* quant_nat, int64_t* nnz_out, int32_t n_threads) {
   int64_t pos = 0;
   if (len < 2 || data[0] != 0xFF || data[1] != 0xD8) return ERR_FORMAT;
   pos = 2;
@@ -997,10 +1125,15 @@ extern "C" int zpix_parse_baseline(
         }
         int64_t pos_out;
         pos += n;  // scan header consumed
-        int rc = decode_scan_packed(
+        int rc = decode_scan_packed_mt(
             data, len, pos, huff, sc, n_scan, mxx, myy, width, height,
             restart_interval, scan_bm, scan_vals, scan_caps, scan_nnz,
-            &pos_out);
+            &pos_out, n_threads);
+        if (rc == ERR_UNSUPPORTED && n_threads > 1)
+          rc = decode_scan_packed(
+              data, len, pos, huff, sc, n_scan, mxx, myy, width, height,
+              restart_interval, scan_bm, scan_vals, scan_caps, scan_nnz,
+              &pos_out, 0, int64_t(mxx) * myy, true);
         if (rc != OK) {
           cleanup();
           return rc;
@@ -1067,7 +1200,8 @@ extern "C" int zpix_parse_baseline_batch(
         cap[c] = vals_cap[c];
       }
       int rc = zpix_parse_baseline(datas[i], lens[i], expect_width,
-                                   expect_height, bm, vl, cap, quant_nat, nnz);
+                                   expect_height, bm, vl, cap, quant_nat,
+                                   nnz, 1);
       rc_out[i] = rc;
       if (rc == OK) {
         for (int c = 0; c < ncomp; c++) {
@@ -1090,6 +1224,6 @@ extern "C" int zpix_parse_baseline_batch(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 7; }
+int zpix_entropy_abi_version() { return 8; }
 
 }  // extern "C"
