@@ -200,6 +200,19 @@ PNG_BATCH_CASES = [
     ("tca8", "png/basn6a08.png"),
     ("g8", "png/basn0g08.png"),
     ("p8", "png/basn3p08.png"),
+    ("g1", "png/basn0g01.png"),
+    ("g2", "png/basn0g02.png"),
+    ("g4", "png/basn0g04.png"),
+    ("g16", "png/basn0g16.png"),
+    ("tc16", "png/basn2c16.png"),
+    ("tca16", "png/basn6a16.png"),
+    ("ga8", "png/basn4a08.png"),
+    ("ga16", "png/basn4a16.png"),
+    ("p1", "png/basn3p01.png"),
+    ("p2", "png/basn3p02.png"),
+    ("p4", "png/basn3p04.png"),
+    ("p8trns", "png/basn3p08-trns.png"),
+    ("g1odd", "png/basn0g01-30.png"),
 ]
 
 
@@ -215,6 +228,13 @@ def test_batch_png_parity(testdata, depth, rel):
     want = host.rgba_pixels().reshape(host.height, host.width, 4)
     assert np.array_equal(out[0], want)
     assert np.array_equal(out[1], want)
+
+
+def test_batch_png_empty_batch(testdata):
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    with pytest.raises(ValueError, match="empty batch"):
+        BatchPngDecoder().decode([])
 
 
 def test_batch_png_interlaced_rejected(testdata):

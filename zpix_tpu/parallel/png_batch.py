@@ -19,6 +19,7 @@ import numpy as np
 
 from ..codecs.png.decode import _BITS_PER_PIXEL, _State, _parse_ihdr, _parse_plte, _parse_trns, _walk_chunks
 from ..errors import FormatError, UnsupportedError
+from ..image.model import PALETTE_NRGBA
 
 
 def parse_filtered(data: bytes):
@@ -94,6 +95,94 @@ def _expand_p8(rows, palette):
     return palette[batch_idx, rows.astype(jnp.int32)]
 
 
+def _be16(jnp, rows, n):
+    """[B, H, 2n] big-endian byte pairs -> [B, H, n] int32 in [0, 0xffff]."""
+    b = rows.reshape(rows.shape[0], rows.shape[1], n, 2).astype(jnp.int32)
+    return (b[..., 0] << 8) | b[..., 1]
+
+
+def _expand_g16(rows, *, width):
+    """Gray16 -> premultiplied RGBA8 (y >> 8 per rgbaPixels semantics)."""
+    import jax.numpy as jnp
+
+    y = (_be16(jnp, rows, width) >> 8).astype(jnp.uint8)
+    a = jnp.full(y.shape + (1,), 255, jnp.uint8)
+    g = y[..., None]
+    return jnp.concatenate([g, g, g, a], axis=-1)
+
+
+def _expand_tc16(rows, *, width):
+    """RGB16 -> RGBA8 (channels >> 8)."""
+    import jax.numpy as jnp
+
+    rgb = (_be16(jnp, rows, width * 3) >> 8).astype(jnp.uint8)
+    rgb = rgb.reshape(rgb.shape[0], rgb.shape[1], width, 3)
+    a = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
+    return jnp.concatenate([rgb, a], axis=-1)
+
+
+def _expand_tca16(rows, *, width):
+    """Non-premultiplied RGBA16 -> premultiplied RGBA8.
+
+    Exact rgbaPixels math: ((c * a) // 0xffff) >> 8, alpha >> 8
+    (/root/reference/src/image/image.zig via color.zig nrgba64 arm).
+    """
+    import jax.numpy as jnp
+
+    px = _be16(jnp, rows, width * 4).reshape(rows.shape[0], rows.shape[1], width, 4)
+    a = px[..., 3:4]
+    rgb = (((px[..., :3] * a) // 0xFFFF) >> 8).astype(jnp.uint8)
+    return jnp.concatenate([rgb, (a >> 8).astype(jnp.uint8)], axis=-1)
+
+
+def _expand_ga8(rows, *, width):
+    """Gray+alpha8 -> premultiplied RGBA8: ((y|y<<8)*a//0xff)>>8."""
+    import jax.numpy as jnp
+
+    d = rows.reshape(rows.shape[0], rows.shape[1], width, 2).astype(jnp.int32)
+    y, a = d[..., 0:1], d[..., 1:2]
+    g = ((((y | (y << 8)) * a) // 0xFF) >> 8).astype(jnp.uint8)
+    return jnp.concatenate([g, g, g, a.astype(jnp.uint8)], axis=-1)
+
+
+def _expand_ga16(rows, *, width):
+    """Gray16+alpha16 -> premultiplied RGBA8."""
+    import jax.numpy as jnp
+
+    d = _be16(jnp, rows, width * 2).reshape(rows.shape[0], rows.shape[1], width, 2)
+    y, a = d[..., 0:1], d[..., 1:2]
+    g = (((y * a) // 0xFFFF) >> 8).astype(jnp.uint8)
+    return jnp.concatenate([g, g, g, (a >> 8).astype(jnp.uint8)], axis=-1)
+
+
+def _expand_lowbit_gray(rows, *, width, depth):
+    """g1/g2/g4 -> RGBA8 via device bit unpack + scale."""
+    import jax.numpy as jnp
+
+    bits = jnp.unpackbits(rows, axis=-1)  # [B, H, row_bytes*8]
+    per = 8 // depth
+    grouped = bits.reshape(bits.shape[0], bits.shape[1], -1, depth).astype(jnp.int32)
+    weights = (1 << jnp.arange(depth - 1, -1, -1, dtype=jnp.int32))
+    vals = (grouped * weights).sum(axis=-1)[:, :, :width]
+    scale = {1: 0xFF, 2: 0x55, 4: 0x11}[depth]
+    y = (vals * scale).astype(jnp.uint8)
+    a = jnp.full(y.shape + (1,), 255, jnp.uint8)
+    g = y[..., None]
+    return jnp.concatenate([g, g, g, a], axis=-1)
+
+
+def _expand_lowbit_palette(rows, palette, *, width, depth):
+    """p1/p2/p4 -> RGBA8: device bit unpack + palette gather."""
+    import jax.numpy as jnp
+
+    bits = jnp.unpackbits(rows, axis=-1)
+    grouped = bits.reshape(bits.shape[0], bits.shape[1], -1, depth).astype(jnp.int32)
+    weights = (1 << jnp.arange(depth - 1, -1, -1, dtype=jnp.int32))
+    idx = (grouped * weights).sum(axis=-1)[:, :, :width]
+    batch_idx = jnp.arange(palette.shape[0])[:, None, None]
+    return palette[batch_idx, idx]
+
+
 class BatchPngDecoder:
     """Same-shape batched PNG -> device RGBA8 [B, H, W, 4]."""
 
@@ -115,6 +204,8 @@ class BatchPngDecoder:
         from .. import runtime
         from ..utils import metrics, trace
 
+        if not datas:
+            raise ValueError("png: empty batch")
         with trace("png_batch.inflate"):
             parsed = [parse_filtered(d) for d in datas]
         metrics.count("png_batch.images", len(datas))
@@ -127,7 +218,11 @@ class BatchPngDecoder:
             ):
                 raise ValueError("batch images must share (width, height, depth)")
         cd = st0.color_depth
-        if cd not in ("tc8", "tca8", "g8", "p8") or st0.use_transparent:
+        supported = {
+            "g1", "g2", "g4", "g8", "g16", "ga8", "ga16",
+            "tc8", "tc16", "tca8", "tca16", "p1", "p2", "p4", "p8",
+        }
+        if cd not in supported or st0.use_transparent:
             raise UnsupportedError(f"png: batched path does not cover {cd}")
 
         bpp_bits = _BITS_PER_PIXEL[cd]
@@ -163,9 +258,38 @@ class BatchPngDecoder:
             return _jit("png_tca8", _expand_tca8)(rows)
         if cd == "g8":
             return _jit("png_g8", _expand_g8)(rows)
-        # p8: stack palettes (may differ per image)
+        if cd == "g16":
+            return _jit("png_g16", _expand_g16, ("width",))(rows, width=st0.width)
+        if cd == "tc16":
+            return _jit("png_tc16", _expand_tc16, ("width",))(rows, width=st0.width)
+        if cd == "tca16":
+            return _jit("png_tca16", _expand_tca16, ("width",))(rows, width=st0.width)
+        if cd == "ga8":
+            return _jit("png_ga8", _expand_ga8, ("width",))(rows, width=st0.width)
+        if cd == "ga16":
+            return _jit("png_ga16", _expand_ga16, ("width",))(rows, width=st0.width)
+        if cd in ("g1", "g2", "g4"):
+            depth = int(cd[1])
+            return _jit("png_glow", _expand_lowbit_gray, ("width", "depth"))(
+                rows, width=st0.width, depth=depth
+            )
+        # Paletted: stack palettes (may differ per image).  tRNS entries are
+        # non-premultiplied (PALETTE_NRGBA); fold the premultiply into the
+        # gather table so the device output matches rgba_pixels exactly
+        # (image/model.py palette_rgba16, truncated to 8 bit).
         pal = np.zeros((len(parsed), 256, 4), np.uint8)
         for i, (st, _) in enumerate(parsed):
-            p = st.palette
-            pal[i, : len(p)] = p
-        return _jit("png_p8", _expand_p8)(rows, self._shard(pal))
+            p = st.palette.astype(np.uint32)
+            is_n = st.palette_kinds == PALETTE_NRGBA
+            a = p[:, 3:4]
+            wide = p[:, :3] | (p[:, :3] << 8)
+            pre = np.where(is_n[:, None], ((wide * a) // 0xFF) >> 8, p[:, :3])
+            pal[i, : len(p), :3] = pre
+            pal[i, : len(p), 3] = p[:, 3]
+        pal_dev = self._shard(pal)
+        if cd == "p8":
+            return _jit("png_p8", _expand_p8)(rows, pal_dev)
+        depth = int(cd[1])
+        return _jit("png_plow", _expand_lowbit_palette, ("width", "depth"))(
+            rows, pal_dev, width=st0.width, depth=depth
+        )
