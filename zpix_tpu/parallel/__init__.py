@@ -12,10 +12,14 @@ All device work is one jitted XLA graph per (shape, ratio) bucket.
 
 from .mesh import make_mesh, batch_sharding
 from .batch import BatchJpegDecoder, decode_batch_ycbcr_to_rgb
+from .device_entropy import DeviceJpegDecoder
+from .png_batch import BatchPngDecoder
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
     "BatchJpegDecoder",
+    "BatchPngDecoder",
+    "DeviceJpegDecoder",
     "decode_batch_ycbcr_to_rgb",
 ]
