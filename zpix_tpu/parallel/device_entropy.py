@@ -7,23 +7,24 @@ Here the *chip* does it: every restart segment is an independent SIMD lane
 decoder.zig:1432-1452), so a batch of images becomes tens of thousands of
 lanes advancing together through one `lax.while_loop`.
 
-Per step each lane issues ONE 8-byte window row-gather (the only true
-gather — XLA TPU gathers are latency-bound, so everything else is
-branch-free vector math) and decodes up to K Huffman symbols from the
-64-bit lookahead:
+The decode is two passes, both scatter-free (see build_decode_fn): an
+index pass over segment lanes finds every 8x8 block's bit offset by
+decoding only symbol lengths, then a value pass runs one lane per BLOCK
+so each lane writes its own [64] coefficient row positionally.  Per step
+each lane issues one 16-byte window row-gather plus one LUT gather per
+decoded symbol; everything else is branch-free vector math:
 
-* canonical Huffman decode is unrolled over code lengths 1..16 with the
-  per-length min/max/valptr constants baked in at trace time
-  (HuffTable semantics, /root/reference/src/jpeg/HuffTable.zig:1-33);
-* symbol values come from a one-hot matmul against the joined DHT value
-  tables (no gather);
+* Huffman decode is a single gather into a 16-bit full-lookahead LUT
+  (entry = value<<5 | code_length, 64K entries per DHT table, built on
+  host from the canonical tables — HuffTable semantics,
+  /root/reference/src/jpeg/HuffTable.zig:1-33 — and baked into the
+  compiled program as a constant);
 * RECEIVE/EXTEND (T.81 F.2.2.1, decoder.zig:1115-1134) is branch-free;
-* coefficients accumulate into a [lanes, blocks_per_segment, 64] int16
-  carry via one-hot outer products — the final carry IS the dense
-  zig-zag coefficient tensor, no scatter anywhere.
+* DC predictors (decoder.zig:1366-1376) are restored after the value
+  pass by a segmented cumsum of per-block diffs.
 
 Host work is memcpy-class only: marker walk, FF00 de-stuffing, restart
-split (decoder.zig:712-749 semantics), table/offset upload.
+split (decoder.zig:712-749 semantics), stream/offset upload.
 """
 
 from __future__ import annotations
@@ -35,17 +36,22 @@ import numpy as np
 from ..codecs.jpeg.tables import UNZIG, HuffTable
 from ..errors import FormatError, UnsupportedError
 
-_EXTEND_BIAS = [0] + [(1 << s) - 1 for s in range(1, 17)]  # x += bias if top bit clear
+def _lut16(t: HuffTable) -> np.ndarray:
+    """Full 16-bit-lookahead decode LUT: entry = (value << 5) | code_length.
 
-
-@dataclass
-class _Huff:
-    """Canonical table params for the device kernel (trace-time constants)."""
-
-    min_codes: list  # [17] (index by length; [0] unused)
-    max_codes: list
-    val_base: list  # valptr per length, offset into the joined vals vector
-    n_vals: int
+    Entry 0 means "invalid code" (valid entries have length >= 1).  Built
+    from the canonical min/max/valptr tables
+    (/root/reference/src/jpeg/HuffTable.zig:1-33).
+    """
+    lut = np.zeros(1 << 16, np.int32)
+    for ln in range(1, 17):
+        mn, mx, vi = t.min_codes[ln - 1], t.max_codes[ln - 1], t.vals_indices[ln - 1]
+        if mx < 0:
+            continue
+        sh = 16 - ln
+        vals = np.array(t.vals[vi : vi + (mx - mn + 1)], np.int32)
+        lut[mn << sh : (mx + 1) << sh] = np.repeat((vals << 5) | ln, 1 << sh)
+    return lut
 
 
 @dataclass
@@ -65,9 +71,8 @@ class ScanPlan:
     seg_mcus: int  # restart interval (MCUs per segment)
     n_segs: int  # segments per image
     quants: list  # [ncomp] np.int32[64] natural order
-    huff: list  # 4 _Huff: [dc0, dc1, ac0, ac1] (tc*2+th layout below)
-    vals_joined: np.ndarray  # all tables' vals concatenated (int32)
-    tid_dc: tuple  # component -> joined-table index for DC
+    lut16: np.ndarray  # [ntab, 65536] int32 decode LUTs (trace-time const)
+    tid_dc: tuple  # component -> lut16 row for DC
     tid_ac: tuple
     stream: np.ndarray  # uint8, destuffed segments back to back (+pad)
     seg_bit_pos: np.ndarray  # int32 [B*n_segs] absolute bit offsets
@@ -226,34 +231,16 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         if len(starts) != n_segs:
             raise UnsupportedError("jpeg: restart segment count mismatch")
 
-    # Joined value vector + per-table params.  Table ids: comp c uses
-    # tid_dc[c] / tid_ac[c] into `huff`/`vals_joined`.
+    # One decode LUT per distinct (class, table-id); comp c uses lut16 row
+    # tid_dc[c] / tid_ac[c].
     order = []
     for c, td, ta in sel:
         if (0, td) not in order:
             order.append((0, td))
         if (1, ta) not in order:
             order.append((1, ta))
-    huff_params, vals_parts, base = [], [], 0
-    tid_of = {}
-    for kk in order:
-        t = huffs[kk]
-        tid_of[kk] = len(huff_params)
-        vb = [(t.vals_indices[i - 1] + base if t.vals_indices[i - 1] >= 0 else 0)
-              for i in range(1, 17)]
-        huff_params.append(
-            _Huff(
-                min_codes=[0] + [t.min_codes[i] for i in range(16)],
-                max_codes=[0] + [t.max_codes[i] for i in range(16)],
-                val_base=[0] + vb,
-                n_vals=t.num_codes,
-            )
-        )
-        vals_parts.append(np.array(t.vals[: t.num_codes], np.int32))
-        base += t.num_codes
-    vals_joined = (
-        np.concatenate(vals_parts) if vals_parts else np.zeros(1, np.int32)
-    )
+    tid_of = {kk: i for i, kk in enumerate(order)}
+    lut16 = np.stack([_lut16(huffs[kk]) for kk in order])
     sel_by_comp = {i: (td, ta) for i, (_, td, ta) in enumerate(sel)}
     tid_dc = tuple(tid_of[(0, sel_by_comp[c][0])] for c in range(nc))
     tid_ac = tuple(tid_of[(1, sel_by_comp[c][1])] for c in range(nc))
@@ -289,8 +276,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         mxx=mxx, myy=myy, bpm=bpm, comp_of_slot=tuple(comp_of_slot),
         n_mcu=n_mcu, seg_mcus=dri, n_segs=n_segs,
         quants=[quants[c[3]] for c in comps],
-        huff=huff_params, vals_joined=vals_joined,
-        tid_dc=tid_dc, tid_ac=tid_ac,
+        lut16=lut16, tid_dc=tid_dc, tid_ac=tid_ac,
         stream=flat, seg_bit_pos=seg_bit_pos, seg_n_mcu=seg_n_mcu,
         batch=len(datas), cache_key=(first[0], len(datas)),
     )
@@ -329,129 +315,133 @@ def _rshift(jnp, x, n):
     return jnp.where(big, jnp.uint32(0), x >> jnp.where(big, jnp.uint32(0), n.astype(jnp.uint32)))
 
 
-def build_decode_fn(plan: ScanPlan, *, k_syms: int = 3, max_steps: int = 16384):
+def _bits_at4(jnp, w, p, n):
+    """Extract bits [p, p+n) (MSB-first) from a 128-bit window w = (w0..w3).
+
+    p, n per-lane int32; requires p <= 96 and n <= 25.  Returns uint32
+    with the n bits right-aligned.
+    """
+    sh = (p & 31).astype(jnp.uint32)
+    pi = p >> 5  # word index 0..3
+    a = jnp.where(
+        pi == 0, w[0], jnp.where(pi == 1, w[1], jnp.where(pi == 2, w[2], w[3]))
+    )
+    b = jnp.where(
+        pi == 0, w[1], jnp.where(pi == 1, w[2], jnp.where(pi == 2, w[3], 0))
+    )
+    word = jnp.where(sh > 0, (a << sh) | _rshift(jnp, b, 32 - (p & 31)), a)
+    return _rshift(jnp, word, 32 - n)
+
+
+def build_decode_fn(
+    plan: ScanPlan, *, k_syms: int = 6, max_steps: int = 16384, _stage: int = 2
+):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
-    (coeffs [L, seg_mcus*bpm, 64] int16 natural-order, ok flag).
+    (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
+
+    Two-pass, scatter-free decode (the index-pass/value-pass split used by
+    parallel JPEG decoders, mapped onto SIMD lanes):
+
+    * **Pass 1 (index pass)** — one lane per restart segment.  Decodes only
+      symbol LENGTHS (one LUT gather per symbol, no extend-bit reads, no
+      value math) to find where every 8x8 block's entropy data ends, and
+      accumulates each completed block's end bit-position into [L1, nblk]
+      with a one-hot over nblk: O(total blocks) vector work per step, no
+      scatter anywhere.
+    * **Pass 2 (value pass)** — one lane per BLOCK at the now-known bit
+      offsets.  Every lane decodes exactly its own block's coefficients
+      into its own [64] row (one-hot over 64 per symbol), so the output is
+      written positionally — again no scatter, and the work per lane is
+      uniform (<= 64 symbols), which keeps tens of thousands of lanes busy
+      in lock-step.  DC symbols emit the raw DIFF (T.81 F.2.1.3.1); the
+      per-segment predictor chain (decoder.zig:1366-1376) is restored
+      afterwards by a segmented cumsum over the MCU axis per component.
+
+    Pass 2 re-derives every block end independently; `ok` requires the two
+    passes to agree bit-for-bit, which catches any corrupt stream that
+    still happened to parse.
 
     Everything shape- or table-dependent is closed over as trace-time
-    constants, so one compilation covers a whole (geometry, tables) bucket.
+    constants (including the decode LUTs), so one compilation covers a
+    whole (geometry, tables) bucket and no tables travel per call.
     """
     import jax
     import jax.numpy as jnp
 
     bpm = plan.bpm
     nblk = plan.seg_mcus * bpm
+    n_mcu_seg = plan.seg_mcus
     comp_of_slot = plan.comp_of_slot
     tid_of_slot_dc = tuple(plan.tid_dc[c] for c in comp_of_slot)
     tid_of_slot_ac = tuple(plan.tid_ac[c] for c in comp_of_slot)
-    ntab = len(plan.huff)
-    nvals = int(plan.vals_joined.shape[0])
-    vals_const = plan.vals_joined.astype(np.float32)
-    # per-(table, length) constants
-    minc = [[plan.huff[t].min_codes[ln] for t in range(ntab)] for ln in range(17)]
-    maxc = [[plan.huff[t].max_codes[ln] for t in range(ntab)] for ln in range(17)]
-    vbase = [[plan.huff[t].val_base[ln] for t in range(ntab)] for ln in range(17)]
+    lut_const = plan.lut16.reshape(-1)  # [ntab * 65536]
     unzig_const = UNZIG  # zigzag k -> natural index
+    k1 = max(k_syms + 2, 8)  # pass-1 symbols/step (no extend reads: cheap)
 
     def decode(stream, seg_bit_pos, seg_n_mcu):
-        L = seg_bit_pos.shape[0]
+        L1 = seg_bit_pos.shape[0]
+        L2 = L1 * nblk
         u32 = jnp.uint32
-        # 8-byte windows at every byte offset: [N, 2] uint32 big-endian.
+        # 16-byte windows at every byte offset: [N, 4] uint32 big-endian.
+        # A wide window amortizes the per-step gather + state costs over
+        # ~2x more symbols (>= 73 bits of guaranteed progress per step).
         s = stream.astype(u32)
-        n = stream.shape[0] - 8
-        b = [s[i : n + i] for i in range(8)]
+        n = stream.shape[0] - 16
+        b = [s[i : n + i] for i in range(16)]
         win = jnp.stack(
             [
-                (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3],
-                (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7],
+                (b[4 * j] << 24) | (b[4 * j + 1] << 16) | (b[4 * j + 2] << 8) | b[4 * j + 3]
+                for j in range(4)
             ],
             axis=-1,
         )
-        vals_tab = jnp.asarray(vals_const)  # [nvals] f32
-        unzig = jnp.asarray(unzig_const)
+        lut = jnp.asarray(lut_const)
 
-        def body(st):
-            (bit_pos, dc, accum, slot, mcu_cnt, k, phase, done, err, steps) = st
+        # ---------------- pass 1: block end bit-positions per segment
+        def body1(st):
+            (bit_pos, offs, slot, mcu_cnt, k, phase, done, err, steps) = st
             byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-            w = win[byte]  # [L, 2] row gather — the step's one true gather
-            hi, lo = w[:, 0], w[:, 1]
-            off0 = (bit_pos & 7).astype(jnp.int32)  # window-local bit cursor
+            w4 = win[byte]
+            w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+            off0 = (bit_pos & 7).astype(jnp.int32)
             off = off0
+            base = (byte << 3).astype(jnp.int32)  # window start, absolute bits
+            upd = jnp.zeros_like(offs)  # step's block-end emissions
 
-            for _slot in range(k_syms):
-                active = (~done) & (off + 27 <= 64)
-                look16 = _bits_at(jnp, hi, lo, off, jnp.int32(16)).astype(jnp.int32)
-                comp = _select_by_index(jnp, slot % bpm, comp_of_slot)
+            for _ in range(k1):
+                active = (~done) & (off <= 80)
+                look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
                 tid = jnp.where(
                     phase == 0,
-                    _select_by_index(jnp, slot % bpm, tid_of_slot_dc),
-                    _select_by_index(jnp, slot % bpm, tid_of_slot_ac),
+                    _select_by_index(jnp, slot, tid_of_slot_dc),
+                    _select_by_index(jnp, slot, tid_of_slot_ac),
                 )
-                # canonical decode, unrolled over lengths 1..16
-                ln_sel = jnp.zeros_like(look16)
-                vidx = jnp.zeros_like(look16)
-                found = jnp.zeros(L, bool)
-                for ln in range(1, 17):
-                    code = look16 >> (16 - ln)
-                    lo_c = _select_by_index(jnp, tid, tuple(minc[ln]))
-                    hi_c = _select_by_index(jnp, tid, tuple(maxc[ln]))
-                    vb = _select_by_index(jnp, tid, tuple(vbase[ln]))
-                    hit = (~found) & (hi_c >= 0) & (code >= lo_c) & (code <= hi_c)
-                    ln_sel = jnp.where(hit, ln, ln_sel)
-                    vidx = jnp.where(hit, vb + code - lo_c, vidx)
-                    found = found | hit
-                bad = active & ~found
-                # symbol value: one-hot matmul (no gather)
-                oh = (vidx[:, None] == jnp.arange(nvals)[None, :]).astype(jnp.float32)
-                sym = (oh @ vals_tab).astype(jnp.int32)
+                ent = lut[tid * 65536 + look16]
+                ln_sel = ent & 31
+                sym = ent >> 5
+                bad = active & (ent == 0)
 
                 is_dc = phase == 0
                 r = jnp.where(is_dc, 0, sym >> 4)
                 size = jnp.where(is_dc, sym, sym & 15)
-                ext_off = off + ln_sel
-                raw = _bits_at(jnp, hi, lo, ext_off, jnp.clip(size, 0, 16)).astype(jnp.int32)
-                raw = jnp.where(size > 0, raw, 0)
-                bias = _select_by_index(jnp, size, tuple(_EXTEND_BIAS))
-                top_clear = raw < (1 << jnp.clip(size - 1, 0, 15))
-                ext = jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
+                consume = ln_sel + size  # extend bits are skipped, not read
 
-                consume = ln_sel + size
-                # state transitions
                 new_k = jnp.where(is_dc, 1, k)
-                emit_k = jnp.where(is_dc, 0, jnp.clip(k + r, 0, 63))
-                emit_v = jnp.zeros(L, jnp.int32)
-                blk_done = jnp.zeros(L, bool)
-                # DC: dc[comp] += ext; emit dc at k=0
-                dc_cur = _take3(jnp, dc, comp, plan.ncomp)
-                dc_new_val = dc_cur + ext
-                emit_v = jnp.where(is_dc, dc_new_val, emit_v)
-                do_emit = is_dc
-                # AC with size>0: emit ext at k+r, k advances
                 ac_coef = (~is_dc) & (size > 0)
-                emit_v = jnp.where(ac_coef, ext, emit_v)
-                do_emit = do_emit | ac_coef
                 new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
-                # AC size==0: EOB (r<15) or ZRL (r==15)
                 eob = (~is_dc) & (size == 0) & (r != 15)
                 zrl = (~is_dc) & (size == 0) & (r == 15)
                 new_k = jnp.where(zrl, k + 16, new_k)
-                blk_done = eob | (new_k > 63)
-                blk_done = jnp.where(is_dc, jnp.zeros(L, bool), blk_done)
+                blk_done = (eob | (new_k > 63)) & ~is_dc
 
                 app = active & ~bad
-                # apply
-                dc = jnp.where(
-                    (app & is_dc)[:, None],
-                    dc + _onehot(jnp, comp, plan.ncomp) * ext[:, None],
-                    dc,
-                )
-                emit = (app & do_emit)[:, None, None]
-                oh_blk = _onehot(jnp, jnp.clip(mcu_cnt * bpm + slot, 0, nblk - 1), nblk)
-                oh_k = _onehot(jnp, emit_k, 64)
-                accum = accum + jnp.where(
-                    emit, (oh_blk[:, :, None] * oh_k[:, None, :]) * emit_v[:, None, None], 0
-                ).astype(jnp.int32)
                 adv_blk = app & blk_done
+                # record block end (one-hot over nblk: O(total blocks)/step)
+                blk_idx = jnp.clip(mcu_cnt * bpm + slot, 0, nblk - 1)
+                end_abs = base + off + consume
+                upd = upd + _onehot(jnp, blk_idx, nblk) * jnp.where(
+                    adv_blk, end_abs, 0
+                )[:, None]
                 slot = jnp.where(adv_blk, slot + 1, slot)
                 wrap = adv_blk & (slot >= bpm)
                 slot = jnp.where(wrap, 0, slot)
@@ -459,35 +449,165 @@ def build_decode_fn(plan: ScanPlan, *, k_syms: int = 3, max_steps: int = 16384):
                 k = jnp.where(adv_blk, 0, jnp.where(app, new_k, k))
                 phase = jnp.where(adv_blk, 0, jnp.where(app & is_dc, 1, phase))
                 off = jnp.where(app, off + consume, off)
-                seg_done = mcu_cnt >= seg_n_mcu
-                err = err | (bad & active)
-                done = done | seg_done | bad
-            bit_pos = bit_pos - off0 + off  # done lanes consumed nothing
-            return (bit_pos, dc, accum, slot, mcu_cnt, k, phase, done, err, steps + 1)
+                err = err | bad
+                done = done | (mcu_cnt >= seg_n_mcu) | bad
+            offs = offs + upd  # one read-modify-write of offs per step
+            bit_pos = bit_pos - off0 + off
+            return (bit_pos, offs, slot, mcu_cnt, k, phase, done, err, steps + 1)
 
-        def cond(st):
-            done, steps = st[7], st[9]
-            return (~jnp.all(done)) & (steps < max_steps)
+        def cond1(st):
+            # sum-based termination test (bool all-reduce miscompiles on
+            # some backend shapes; an integer reduction is robust)
+            n_done = jnp.sum(st[6].astype(jnp.int32))
+            return (n_done < st[6].shape[0]) & (st[8] < max_steps)
 
-        st0 = (
-            seg_bit_pos.astype(jnp.int32),
-            jnp.zeros((L, plan.ncomp), jnp.int32),
-            jnp.zeros((L, nblk, 64), jnp.int32),
-            jnp.zeros(L, jnp.int32),  # slot
-            jnp.zeros(L, jnp.int32),  # mcu_cnt
-            jnp.zeros(L, jnp.int32),  # k
-            jnp.zeros(L, jnp.int32),  # phase
-            jnp.zeros(L, bool),  # done
-            jnp.zeros(L, bool),  # err
-            jnp.int32(0),
+        st1 = jax.lax.while_loop(
+            cond1,
+            body1,
+            (
+                seg_bit_pos.astype(jnp.int32),
+                jnp.zeros((L1, nblk), jnp.int32),
+                jnp.zeros(L1, jnp.int32),
+                jnp.zeros(L1, jnp.int32),
+                jnp.zeros(L1, jnp.int32),
+                jnp.zeros(L1, jnp.int32),
+                jnp.zeros(L1, bool),
+                jnp.zeros(L1, bool),
+                jnp.int32(0),
+            ),
         )
-        st = jax.lax.while_loop(cond, body, st0)
-        accum = st[2]
-        ok = jnp.all(st[7]) & ~jnp.any(st[8])
+        ends = st1[1]  # [L1, nblk]
+        ok1 = jnp.all(st1[6]) & ~jnp.any(st1[7])
+        if _stage == 1:  # debug: index pass only
+            return ends, ok1
+
+        # ---------------- pass 2: one lane per block
+        starts = jnp.concatenate(
+            [seg_bit_pos.astype(jnp.int32)[:, None], ends[:, :-1]], axis=1
+        ).reshape(-1)
+        valid = (
+            jnp.arange(nblk)[None, :] < (seg_n_mcu * bpm)[:, None]
+        ).reshape(-1)
+        lane2 = jnp.arange(L2)
+        slot2 = (lane2 % bpm).astype(jnp.int32)
+        tid_dc2 = _select_by_index(jnp, slot2, tid_of_slot_dc)
+        tid_ac2 = _select_by_index(jnp, slot2, tid_of_slot_ac)
+
+        def body2(st):
+            (bit_pos, cur, k, phase, done, err, steps) = st
+            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+            w4 = win[byte]
+            w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+            off0 = (bit_pos & 7).astype(jnp.int32)
+            off = off0
+            upd = jnp.zeros_like(cur)  # step's coefficient emissions
+
+            for _ in range(k_syms):
+                active = (~done) & (off <= 80)
+                look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                tid = jnp.where(phase == 0, tid_dc2, tid_ac2)
+                ent = lut[tid * 65536 + look16]
+                ln_sel = ent & 31
+                sym = ent >> 5
+                bad = active & (ent == 0)
+
+                is_dc = phase == 0
+                r = jnp.where(is_dc, 0, sym >> 4)
+                size = jnp.where(is_dc, sym, sym & 15)
+                ext_off = off + ln_sel
+                raw = _bits_at4(
+                    jnp, w, ext_off, jnp.clip(size, 0, 16)
+                ).astype(jnp.int32)
+                raw = jnp.where(size > 0, raw, 0)
+                # RECEIVE/EXTEND, branch-free (decoder.zig:1115-1134)
+                sz = jnp.clip(size, 0, 16)
+                bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
+                top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
+                ext = jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
+
+                consume = ln_sel + size
+                new_k = jnp.where(is_dc, 1, k)
+                emit_k = jnp.where(is_dc, 0, jnp.clip(k + r, 0, 63))
+                ac_coef = (~is_dc) & (size > 0)
+                # DC emits the raw diff; predictor chain restored below.
+                emit_v = jnp.where(is_dc, ext, jnp.where(ac_coef, ext, 0))
+                do_emit = is_dc | ac_coef
+                new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
+                eob = (~is_dc) & (size == 0) & (r != 15)
+                zrl = (~is_dc) & (size == 0) & (r == 15)
+                new_k = jnp.where(zrl, k + 16, new_k)
+                blk_done = (eob | (new_k > 63)) & ~is_dc
+
+                app = active & ~bad
+                upd = upd + jnp.where(
+                    (app & do_emit)[:, None],
+                    _onehot(jnp, emit_k, 64) * emit_v[:, None],
+                    0,
+                )
+                k = jnp.where(app, new_k, k)
+                phase = jnp.where(app & is_dc, 1, phase)
+                off = jnp.where(app, off + consume, off)
+                err = err | bad
+                done = done | (app & blk_done) | bad
+            cur = cur + upd  # one read-modify-write of cur per step
+            bit_pos = bit_pos - off0 + off
+            return (bit_pos, cur, k, phase, done, err, steps + 1)
+
+        def cond2(st):
+            # a block holds <= 64 symbols and every step decodes >= 1
+            n_done = jnp.sum(st[4].astype(jnp.int32))
+            return (n_done < st[4].shape[0]) & (st[6] < 80)
+
+        st2 = jax.lax.while_loop(
+            cond2,
+            body2,
+            (
+                starts,
+                jnp.zeros((L2, 64), jnp.int32),
+                jnp.zeros(L2, jnp.int32),
+                jnp.zeros(L2, jnp.int32),
+                ~valid,  # padding lanes start done
+                jnp.zeros(L2, bool),
+                jnp.int32(0),
+            ),
+        )
+        cur = st2[1]
+        if _stage == 15:  # debug: value pass, raw
+            return cur.astype(jnp.int16), jnp.all(st2[4])
+        # integrity: pass 2 must land exactly on pass 1's block ends
+        agree = (st2[0] == ends.reshape(-1)) | ~valid
+        ok = (
+            ok1
+            & jnp.all(st2[4])
+            & ~jnp.any(st2[5] & valid)
+            & jnp.all(agree)
+        )
+        if _stage == 17:  # debug: + integrity check
+            return cur.astype(jnp.int16), ok
+
+        coeff = cur.reshape(L1, n_mcu_seg, bpm, 64)
+        # restore the DC predictor chain: per component, add the EXCLUSIVE
+        # prefix sum of preceding blocks' diffs at zigzag position 0
+        # (slots of one component are consecutive within the MCU), as a
+        # broadcast add — no minor-axis slicing/concat.
+        dc = coeff[..., 0]  # [L1, n_mcu_seg, bpm] raw diffs
+        parts = []
+        s0 = 0
+        for c in range(plan.ncomp):
+            nbc = plan.hv[c][0] * plan.hv[c][1]
+            d = dc[:, :, s0 : s0 + nbc].reshape(L1, -1)
+            pre = (jnp.cumsum(d, axis=1) - d).reshape(L1, n_mcu_seg, nbc)
+            parts.append(pre)
+            s0 += nbc
+        corr = jnp.concatenate(parts, axis=2)  # [L1, n_mcu_seg, bpm]
+        one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
+        coeff = coeff + corr[..., None] * one0
+        out = coeff.reshape(L1, nblk, 64)
+
         # zigzag -> natural order (static permutation on the last axis)
         inv = np.zeros(64, np.int64)
         inv[unzig_const] = np.arange(64)
-        coeffs = jnp.take(accum, jnp.asarray(inv), axis=-1)
+        coeffs = jnp.take(out, jnp.asarray(inv), axis=-1)
         return coeffs.astype(jnp.int16), ok
 
     return jax.jit(decode)
@@ -522,7 +642,7 @@ class DeviceJpegDecoder:
     branchless YCbCr clamp semantics as color.zig:95-113).
     """
 
-    def __init__(self, *, k_syms: int = 3, max_steps: int = 16384):
+    def __init__(self, *, k_syms: int = 6, max_steps: int = 16384):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self._decode_fns: dict = {}
