@@ -103,6 +103,34 @@ def test_ratio_matrix_parity(mode):
     assert np.array_equal(out[0], ref[0]) and np.array_equal(out[1], ref[0])
 
 
+def test_mesh_sharded_decode_parity():
+    """Segment lanes shard over the mesh batch axis; output must be
+    bit-identical to the unsharded path on the virtual 8-device mesh."""
+    from zpix_tpu.parallel import make_mesh
+
+    data = _synth_jpeg(w=256, h=128)
+    datas = [data] * 8
+    mesh = make_mesh()
+    sharded = DeviceJpegDecoder(mesh=mesh)
+    plain = DeviceJpegDecoder()
+    out_s, ok_s = sharded.decode(datas)
+    out_p, ok_p = plain.decode(datas)
+    assert bool(ok_s) and bool(ok_p)
+    assert np.array_equal(np.asarray(out_s), np.asarray(out_p))
+
+
+def test_mesh_lane_mismatch_raises():
+    from zpix_tpu.parallel import make_mesh
+
+    data = _synth_jpeg(w=40, h=24)  # few segments
+    mesh = make_mesh()
+    plan = prep_batch([data])
+    if (plan.batch * plan.n_segs) % mesh.shape["batch"] == 0:
+        pytest.skip("lane count happens to divide the mesh")
+    with pytest.raises(ValueError):
+        DeviceJpegDecoder(mesh=mesh).decode_coefficients(plan)
+
+
 def test_corrupt_stream_flags_not_ok():
     """Flipping entropy bytes must trip the integrity check (ok=False) or
     raise at destuff time - never return silently wrong pixels as ok."""

@@ -642,26 +642,50 @@ class DeviceJpegDecoder:
     branchless YCbCr clamp semantics as color.zig:95-113).
     """
 
-    def __init__(self, *, k_syms: int = 6, max_steps: int = 16384):
+    def __init__(self, *, k_syms: int = 6, max_steps: int = 16384, mesh=None):
         self.k_syms = k_syms
         self.max_steps = max_steps
+        self.mesh = mesh  # jax.sharding.Mesh with a "batch" axis, or None
         self._decode_fns: dict = {}
         self._backend_fns: dict = {}
 
-    def decode_coefficients(self, plan: ScanPlan):
-        """Run the entropy kernel: -> (coeffs [L, nblk, 64] int16, ok)."""
+    def _put(self, plan: ScanPlan):
+        """Upload the plan; with a mesh, segment lanes shard over "batch"
+        (the stream is replicated: every chip reads only its lanes' bytes
+        but the flat buffer is shared — restart segments are embarrassingly
+        parallel, so no collectives are needed until the gather phase)."""
         import jax
 
-        key = (plan.cache_key, int(plan.stream.shape[0]))
+        if self.mesh is None:
+            return (
+                jax.device_put(plan.stream),
+                jax.device_put(plan.seg_bit_pos),
+                jax.device_put(plan.seg_n_mcu),
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = self.mesh.shape["batch"]
+        if (plan.batch * plan.n_segs) % ndev:
+            raise ValueError(
+                f"jpeg: lanes ({plan.batch}x{plan.n_segs}) must divide the "
+                f"mesh batch axis ({ndev}); pad the batch"
+            )
+        repl = NamedSharding(self.mesh, P())
+        lanes = NamedSharding(self.mesh, P("batch"))
+        return (
+            jax.device_put(plan.stream, repl),
+            jax.device_put(plan.seg_bit_pos, lanes),
+            jax.device_put(plan.seg_n_mcu, lanes),
+        )
+
+    def decode_coefficients(self, plan: ScanPlan):
+        """Run the entropy kernel: -> (coeffs [L, nblk, 64] int16, ok)."""
+        key = (plan.cache_key, int(plan.stream.shape[0]), self.mesh is not None)
         fn = self._decode_fns.get(key)
         if fn is None:
             fn = build_decode_fn(plan, k_syms=self.k_syms, max_steps=self.max_steps)
             self._decode_fns[key] = fn
-        return fn(
-            jax.device_put(plan.stream),
-            jax.device_put(plan.seg_bit_pos),
-            jax.device_put(plan.seg_n_mcu),
-        )
+        return fn(*self._put(plan))
 
     def _backend(self, plan: ScanPlan):
         import jax
