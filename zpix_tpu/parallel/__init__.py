@@ -13,6 +13,7 @@ All device work is one jitted XLA graph per (shape, ratio) bucket.
 from .mesh import make_mesh, batch_sharding
 from .batch import BatchJpegDecoder, decode_batch_ycbcr_to_rgb
 from .device_entropy import DeviceJpegDecoder
+from .device_entropy_sync import SyncJpegDecoder
 from .png_batch import BatchPngDecoder
 
 __all__ = [
@@ -21,5 +22,6 @@ __all__ = [
     "BatchJpegDecoder",
     "BatchPngDecoder",
     "DeviceJpegDecoder",
+    "SyncJpegDecoder",
     "decode_batch_ycbcr_to_rgb",
 ]

@@ -117,6 +117,11 @@ def _parse_headers(data: bytes):
             for i in range(nc):
                 cid, hvb, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append((cid, hvb >> 4, hvb & 15, tq))
+            if nc == 1:
+                # grayscale ignores declared sampling factors
+                # (decoder.zig:546-561 normalizes (h,v) to (1,1))
+                cid, _, _, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
             sof = (w, h, nc, tuple(comps))
         elif marker == 0xC2:
             raise UnsupportedError("jpeg: progressive not supported on-device")

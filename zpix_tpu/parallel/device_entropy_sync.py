@@ -1,0 +1,583 @@
+"""On-chip baseline-JPEG entropy decode WITHOUT restart markers.
+
+The restart-free scan is one serial bit chain (the reference decodes it
+byte-serially, /root/reference/src/jpeg/decoder.zig:1294-1454; restart
+markers are the only state reset, :1432-1452).  To run it on SIMD lanes
+the stream is chopped into fixed CHUNK_BYTES chunks and decoded
+speculatively, exploiting Huffman self-synchronization (the approach of
+"Accelerating JPEG Decompression on GPUs", arXiv:2111.09219, mapped onto
+XLA lanes):
+
+1. **Speculative sync.**  Every chunk lane decodes symbol LENGTHS from
+   its chunk start, guessing entry state (bit-aligned, slot 0, DC).
+   Only each image's first lane is surely right.  The exit state
+   (bit, slot-in-MCU, k, phase at the first symbol boundary past the
+   chunk) is recorded.
+2. **Fixed-point propagation.**  entries[i] := exits[i-1]; rescan; repeat
+   until no entry changes.  A wrong entry self-synchronizes with the true
+   decode within a few symbols, so exits stabilize after ~2-3 rounds
+   (worst case F rounds == serial decode, still exact).
+3. **Index scan.**  From converged entries, each chunk lane records the
+   bit position where every block ENDING in its chunk finishes, plus the
+   block count (one-hot over a per-chunk capacity; no scatter).
+4. **Assembly.**  Per-chunk end lists concatenate in lane order into the
+   global raster-order block-end array via one searchsorted + row gather.
+5. **Value pass + DC fix.**  Identical machinery to the restart path
+   (device_entropy.build_decode_fn pass 2): one lane per block, then a
+   whole-image segmented cumsum restores DC predictors
+   (decoder.zig:1366-1376).
+
+Verification is exact, not probabilistic: ok requires every value-pass
+lane to land exactly on the index pass's block ends, the total block
+count to match the frame geometry, and the final bit position to reach
+the end of the entropy data.  A mis-synchronization that survives all of
+that cannot exist; on ok=False callers fall back to the host decoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codecs.jpeg.tables import UNZIG
+from ..errors import UnsupportedError
+from .device_entropy import (
+    _bits_at4,
+    _destuff,
+    _lut16,
+    _onehot,
+    _parse_headers,
+    _select_by_index,
+)
+
+
+@dataclass
+class SyncPlan:
+    """Host-side prep of a same-geometry restart-free baseline batch."""
+
+    width: int
+    height: int
+    ncomp: int
+    hv: tuple
+    ratio: str
+    mxx: int
+    myy: int
+    bpm: int
+    comp_of_slot: tuple
+    n_mcu: int
+    quants: list
+    lut16: np.ndarray
+    tid_dc: tuple
+    tid_ac: tuple
+    stream: np.ndarray  # destuffed scans back to back (+pad)
+    img_bit_start: np.ndarray  # int64 [B]
+    img_bit_end: np.ndarray  # int64 [B]
+    chunk_bytes: int
+    n_chunks: int  # per image (padded to the longest scan)
+    mb: int  # block-end capacity per chunk
+    batch: int
+    cache_key: tuple = None
+
+
+def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
+    """Parse/destuff a batch of restart-free baseline JPEGs."""
+    if not datas:
+        raise ValueError("jpeg: empty batch")
+    first = None
+    streams = []
+    for data in datas:
+        sof, quants, huffs, dri, sel, scan_start = _parse_headers(data)
+        key = (sof, tuple(q.tobytes() if q is not None else None for q in quants),
+               tuple(sorted((k, t.num_codes, tuple(t.vals), tuple(t.min_codes),
+                             tuple(t.max_codes), tuple(t.vals_indices))
+                            for k, t in huffs.items())), tuple(sel))
+        if dri > 0:
+            raise UnsupportedError(
+                "jpeg: stream has restart markers; use DeviceJpegDecoder "
+                "(restart segments are cheaper parallel boundaries)"
+            )
+        if first is None:
+            first = (key, sof, quants, huffs, sel)
+        elif key != first[0]:
+            raise UnsupportedError("jpeg: batch must share geometry and tables")
+        stream, _ = _destuff(data, scan_start)
+        streams.append(stream)
+
+    _, sof, quants, huffs, sel = first
+    w, h, nc, comps = sof
+    h0, v0 = comps[0][1], comps[0][2]
+    mxx = (w + 8 * h0 - 1) // (8 * h0)
+    myy = (h + 8 * v0 - 1) // (8 * v0)
+    comp_of_slot = []
+    for c in range(nc):
+        comp_of_slot += [c] * (comps[c][1] * comps[c][2])
+    bpm = len(comp_of_slot)
+
+    order = []
+    for c, td, ta in sel:
+        if (0, td) not in order:
+            order.append((0, td))
+        if (1, ta) not in order:
+            order.append((1, ta))
+    tid_of = {kk: i for i, kk in enumerate(order)}
+    lut16 = np.stack([_lut16(huffs[kk]) for kk in order])
+    sel_by_comp = {i: (td, ta) for i, (_, td, ta) in enumerate(sel)}
+    tid_dc = tuple(tid_of[(0, sel_by_comp[c][0])] for c in range(nc))
+    tid_ac = tuple(tid_of[(1, sel_by_comp[c][1])] for c in range(nc))
+
+    offs, total = [], 0
+    for s in streams:
+        offs.append(total)
+        total += (len(s) + 7) // 8 * 8
+    cap = 1 << max(12, (total + 16 - 1).bit_length())
+    flat = np.zeros(cap, np.uint8)
+    for s, o in zip(streams, offs):
+        flat[o : o + len(s)] = s
+    img_bit_start = np.array([o * 8 for o in offs], np.int64)
+    img_bit_end = np.array(
+        [(o + len(s)) * 8 for o, s in zip(offs, streams)], np.int64
+    )
+    n_chunks = (max(len(s) for s in streams) + chunk_bytes - 1) // chunk_bytes
+
+    ratio = "gray"
+    if nc == 3:
+        hr = comps[0][1] // comps[1][1]
+        vr = comps[0][2] // comps[1][2]
+        ratio = {0x11: "444", 0x12: "440", 0x21: "422",
+                 0x22: "420", 0x41: "411", 0x42: "410"}[(hr << 4) | vr]
+    return SyncPlan(
+        width=w, height=h, ncomp=nc,
+        hv=tuple((c[1], c[2]) for c in comps), ratio=ratio,
+        mxx=mxx, myy=myy, bpm=bpm, comp_of_slot=tuple(comp_of_slot),
+        n_mcu=mxx * myy, quants=[quants[c[3]] for c in comps],
+        lut16=lut16, tid_dc=tid_dc, tid_ac=tid_ac,
+        stream=flat, img_bit_start=img_bit_start, img_bit_end=img_bit_end,
+        chunk_bytes=chunk_bytes, n_chunks=n_chunks,
+        mb=chunk_bytes,  # block-end capacity: blocks >= 8 entropy bits
+        batch=len(datas), cache_key=(first[0], len(datas), chunk_bytes),
+    )
+
+
+def build_sync_decode_fn(plan: SyncPlan, *, k_syms: int = 6, max_rounds: int | None = None):
+    """Returns a jitted fn: (stream, img_bit_start, img_bit_end) ->
+    (coeffs [B, n_mcu*bpm, 64] int16 natural-order, ok flag)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = plan.batch
+    F = plan.n_chunks
+    L = B * F
+    C_BITS = plan.chunk_bytes * 8
+    mb = plan.mb
+    bpm = plan.bpm
+    n_mcu = plan.n_mcu
+    nblk_img = n_mcu * bpm
+    comp_of_slot = plan.comp_of_slot
+    tid_of_slot_dc = tuple(plan.tid_dc[c] for c in comp_of_slot)
+    tid_of_slot_ac = tuple(plan.tid_ac[c] for c in comp_of_slot)
+    lut_const = plan.lut16.reshape(-1)
+    rounds_cap = max_rounds if max_rounds is not None else F + 2
+    k1 = max(k_syms + 2, 8)
+    # a chunk spans < C_BITS + 27 overhang bits; every inner step consumes
+    # >= 1 symbol >= 2 bits, and >= 73 bits when the window stays full
+    inner_cap = C_BITS // 8 + 64
+
+    def decode(stream, img_bit_start, img_bit_end):
+        u32 = jnp.uint32
+        s = stream.astype(u32)
+        n = stream.shape[0] - 16
+        b = [s[i : n + i] for i in range(16)]
+        win = jnp.stack(
+            [
+                (b[4 * j] << 24) | (b[4 * j + 1] << 16) | (b[4 * j + 2] << 8) | b[4 * j + 3]
+                for j in range(4)
+            ],
+            axis=-1,
+        )
+        lut = jnp.asarray(lut_const)
+
+        img_start = img_bit_start.astype(jnp.int32)  # [B]
+        img_end = img_bit_end.astype(jnp.int32)  # [B]
+        lane_img = jnp.repeat(jnp.arange(B), F)  # [L]
+        lane_chunk = jnp.tile(jnp.arange(F), B)  # [L]
+        chunk_start = img_start[lane_img] + lane_chunk * C_BITS
+        chunk_end = jnp.minimum(chunk_start + C_BITS, img_end[lane_img])
+        chunk_start = jnp.minimum(chunk_start, img_end[lane_img])
+
+        def scan_chunks(entries, record):
+            """Decode every chunk from its entry to the first symbol
+            boundary past its end.  record=False: sync scan (exit states
+            only).  record=True: index scan (block ends + counts too)."""
+            e_bit, e_slot, e_k, e_phase = entries
+
+            def body(st):
+                (bit_pos, slot, k, phase, done, err_bit, ends, cnt, steps) = st
+                byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+                w4 = win[byte]
+                w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+                off0 = (bit_pos & 7).astype(jnp.int32)
+                off = off0
+                base = (byte << 3).astype(jnp.int32)
+                upd = jnp.zeros_like(ends) if record else ends
+
+                for _ in range(k1):
+                    active = (~done) & (off <= 80)
+                    look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                    tid = jnp.where(
+                        phase == 0,
+                        _select_by_index(jnp, slot, tid_of_slot_dc),
+                        _select_by_index(jnp, slot, tid_of_slot_ac),
+                    )
+                    ent = lut[tid * 65536 + look16]
+                    ln_sel = ent & 31
+                    sym = ent >> 5
+                    bad = active & (ent == 0)
+
+                    is_dc = phase == 0
+                    r = jnp.where(is_dc, 0, sym >> 4)
+                    size = jnp.where(is_dc, sym, sym & 15)
+                    consume = ln_sel + size
+
+                    new_k = jnp.where(is_dc, 1, k)
+                    ac_coef = (~is_dc) & (size > 0)
+                    new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
+                    eob = (~is_dc) & (size == 0) & (r != 15)
+                    zrl = (~is_dc) & (size == 0) & (r == 15)
+                    new_k = jnp.where(zrl, k + 16, new_k)
+                    blk_done = (eob | (new_k > 63)) & ~is_dc
+
+                    app = active & ~bad
+                    adv_blk = app & blk_done
+                    end_abs = base + off + consume
+                    if record:
+                        over = cnt >= mb
+                        upd = upd + _onehot(
+                            jnp, jnp.clip(cnt, 0, mb - 1), mb
+                        ) * jnp.where(adv_blk & ~over, end_abs, 0)[:, None]
+                        err_bit = jnp.where(
+                            adv_blk & over,
+                            jnp.minimum(err_bit, base + off),
+                            err_bit,
+                        )
+                    cnt = jnp.where(adv_blk, cnt + 1, cnt)
+                    slot = jnp.where(adv_blk, slot + 1, slot)
+                    wrap = adv_blk & (slot >= bpm)
+                    slot = jnp.where(wrap, 0, slot)
+                    k = jnp.where(adv_blk, 0, jnp.where(app, new_k, k))
+                    phase = jnp.where(
+                        adv_blk, 0, jnp.where(app & is_dc, 1, phase)
+                    )
+                    off = jnp.where(app, off + consume, off)
+                    err_bit = jnp.where(
+                        bad, jnp.minimum(err_bit, base + off), err_bit
+                    )
+                    # stop at the first symbol boundary past the chunk end
+                    done = done | (base + off >= chunk_end) | bad
+                if record:
+                    ends = ends + upd
+                bit_pos = bit_pos - off0 + off
+                return (bit_pos, slot, k, phase, done, err_bit, ends, cnt, steps + 1)
+
+            def cond(st):
+                n_done = jnp.sum(st[4].astype(jnp.int32))
+                return (n_done < L) & (st[8] < inner_cap)
+
+            ends0 = jnp.zeros((L, mb if record else 1), jnp.int32)
+            st = jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    e_bit,
+                    e_slot,
+                    e_k,
+                    e_phase,
+                    e_bit >= chunk_end,  # empty chunk: exit == entry
+                    jnp.full(L, 2**30, jnp.int32),  # err_bit sentinel
+                    ends0,
+                    jnp.zeros(L, jnp.int32),
+                    jnp.int32(0),
+                ),
+            )
+            return st  # (bit, slot, k, phase, done, err_bit, ends, cnt, steps)
+
+        # ---- phase 1+2: speculative sync to a fixed point
+        guess = (
+            chunk_start,
+            jnp.zeros(L, jnp.int32),
+            jnp.zeros(L, jnp.int32),
+            jnp.zeros(L, jnp.int32),
+        )
+
+        def shift(exits):
+            """entries[i] := exits[i-1] within each image; first chunk's
+            entry is the true scan start."""
+            out = []
+            for j, x in enumerate(exits):
+                x2 = x.reshape(B, F)
+                first = (
+                    img_start[:, None]
+                    if j == 0
+                    else jnp.zeros((B, 1), jnp.int32)
+                )
+                out.append(
+                    jnp.concatenate([first, x2[:, :-1]], axis=1).reshape(L)
+                )
+            return tuple(out)
+
+        def sync_round(st):
+            entries, _changed, rounds = st
+            sc = scan_chunks(entries, record=False)
+            exits = (sc[0], sc[1], sc[2], sc[3])
+            new_entries = shift(exits)
+            changed = jnp.zeros((), bool)
+            for a, bb in zip(new_entries, entries):
+                changed = changed | jnp.any(a != bb)
+            return (new_entries, changed, rounds + 1)
+
+        st = (guess, jnp.ones((), bool), jnp.int32(0))
+        st = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < rounds_cap), sync_round, st
+        )
+        entries, _, _rounds = st
+
+        # ---- phase 3: index scan from converged entries
+        sc = scan_chunks(entries, record=True)
+        ends_chunk, cnt = sc[6], sc[7]  # [L, mb], [L]
+        err_bit_scan = sc[5]  # [L] first decode-error position (2^30 = none)
+        scan_done = sc[4]
+
+        # The decode continues past the image's last real block into the
+        # encoder's 1-bit padding, which may parse as spurious symbols,
+        # spurious blocks, or invalid codes.  Verification therefore:
+        # every image must yield AT LEAST its geometric block count, the
+        # final real block must end within the last byte of the entropy
+        # data, and any decode error must lie at/after that end (i.e., in
+        # the padding).  Real blocks are checked exactly by the value pass.
+        cnt_img = cnt.reshape(B, F)
+        total_ok = jnp.all(jnp.sum(cnt_img, axis=1) >= nblk_img)
+
+        # ---- phase 4: assemble global block ends, raster order
+        base = jnp.cumsum(cnt_img, axis=1) - cnt_img  # exclusive [B, F]
+        # ends_global[b, g] = ends_chunk[chunk i with base<=g<base+cnt][g-base]
+        g = jnp.arange(nblk_img)
+
+        def per_image(base_b, ends_b):
+            i_of_g = (
+                jnp.searchsorted(base_b, g, side="right") - 1
+            ).astype(jnp.int32)
+            i_of_g = jnp.clip(i_of_g, 0, F - 1)
+            j_of_g = g - base_b[i_of_g]
+            rows = jnp.clip(i_of_g * mb + j_of_g, 0, F * mb - 1)
+            return ends_b.reshape(F * mb)[rows]
+
+        ends_global = jax.vmap(per_image)(base, ends_chunk.reshape(B, F, mb))
+        starts_global = jnp.concatenate(
+            [img_start[:, None], ends_global[:, :-1]], axis=1
+        )
+        last_end = ends_global[:, -1]  # end of each image's final real block
+        end_ok = jnp.all((last_end <= img_end) & (last_end >= img_end - 7))
+        err_ok = jnp.all(err_bit_scan >= last_end[lane_img])
+
+        # ---- phase 5: value pass (one lane per block) + DC fix
+        L2 = B * nblk_img
+        starts = starts_global.reshape(L2)
+        lane2 = jnp.arange(L2)
+        slot2 = (lane2 % bpm).astype(jnp.int32)
+        tid_dc2 = _select_by_index(jnp, slot2, tid_of_slot_dc)
+        tid_ac2 = _select_by_index(jnp, slot2, tid_of_slot_ac)
+
+        def body2(st):
+            (bit_pos, cur, k, phase, done, err, steps) = st
+            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+            w4 = win[byte]
+            w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+            off0 = (bit_pos & 7).astype(jnp.int32)
+            off = off0
+            upd = jnp.zeros_like(cur)
+
+            for _ in range(k_syms):
+                active = (~done) & (off <= 80)
+                look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                tid = jnp.where(phase == 0, tid_dc2, tid_ac2)
+                ent = lut[tid * 65536 + look16]
+                ln_sel = ent & 31
+                sym = ent >> 5
+                bad = active & (ent == 0)
+
+                is_dc = phase == 0
+                r = jnp.where(is_dc, 0, sym >> 4)
+                size = jnp.where(is_dc, sym, sym & 15)
+                ext_off = off + ln_sel
+                raw = _bits_at4(
+                    jnp, w, ext_off, jnp.clip(size, 0, 16)
+                ).astype(jnp.int32)
+                raw = jnp.where(size > 0, raw, 0)
+                sz = jnp.clip(size, 0, 16)
+                bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
+                top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
+                ext = jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
+
+                consume = ln_sel + size
+                new_k = jnp.where(is_dc, 1, k)
+                emit_k = jnp.where(is_dc, 0, jnp.clip(k + r, 0, 63))
+                ac_coef = (~is_dc) & (size > 0)
+                emit_v = jnp.where(is_dc, ext, jnp.where(ac_coef, ext, 0))
+                do_emit = is_dc | ac_coef
+                new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
+                eob = (~is_dc) & (size == 0) & (r != 15)
+                zrl = (~is_dc) & (size == 0) & (r == 15)
+                new_k = jnp.where(zrl, k + 16, new_k)
+                blk_done = (eob | (new_k > 63)) & ~is_dc
+
+                app = active & ~bad
+                upd = upd + jnp.where(
+                    (app & do_emit)[:, None],
+                    _onehot(jnp, emit_k, 64) * emit_v[:, None],
+                    0,
+                )
+                k = jnp.where(app, new_k, k)
+                phase = jnp.where(app & is_dc, 1, phase)
+                off = jnp.where(app, off + consume, off)
+                err = err | bad
+                done = done | (app & blk_done) | bad
+            cur = cur + upd
+            bit_pos = bit_pos - off0 + off
+            return (bit_pos, cur, k, phase, done, err, steps + 1)
+
+        def cond2(st):
+            n_done = jnp.sum(st[4].astype(jnp.int32))
+            return (n_done < L2) & (st[6] < 80)
+
+        st2 = jax.lax.while_loop(
+            cond2,
+            body2,
+            (
+                starts,
+                jnp.zeros((L2, 64), jnp.int32),
+                jnp.zeros(L2, jnp.int32),
+                jnp.zeros(L2, jnp.int32),
+                jnp.zeros(L2, bool),
+                jnp.zeros(L2, bool),
+                jnp.int32(0),
+            ),
+        )
+        cur = st2[1]
+        agree = st2[0] == ends_global.reshape(L2)
+        ok = (
+            jnp.all(scan_done)
+            & err_ok
+            & total_ok
+            & end_ok
+            & jnp.all(st2[4])
+            & ~jnp.any(st2[5])
+            & jnp.all(agree)
+        )
+
+        coeff = cur.reshape(B, n_mcu, bpm, 64)
+        dc = coeff[..., 0]
+        parts = []
+        s0 = 0
+        for c in range(plan.ncomp):
+            nbc = plan.hv[c][0] * plan.hv[c][1]
+            d = dc[:, :, s0 : s0 + nbc].reshape(B, -1)
+            pre = (jnp.cumsum(d, axis=1) - d).reshape(B, n_mcu, nbc)
+            parts.append(pre)
+            s0 += nbc
+        corr = jnp.concatenate(parts, axis=2)
+        one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
+        coeff = coeff + corr[..., None] * one0
+        out = coeff.reshape(B, nblk_img, 64)
+
+        inv = np.zeros(64, np.int64)
+        inv[UNZIG] = np.arange(64)
+        coeffs = jnp.take(out, jnp.asarray(inv), axis=-1)
+        return coeffs.astype(jnp.int16), ok
+
+    return jax.jit(decode)
+
+
+class SyncJpegDecoder:
+    """Fully on-chip decode of restart-free baseline JPEGs.
+
+    Speculative chunk synchronization (see module docstring) with exact
+    verification; use DeviceJpegDecoder when the stream has restart
+    markers (cheaper — no sync rounds needed).
+    """
+
+    def __init__(self, *, chunk_bytes: int = 32, k_syms: int = 6):
+        self.chunk_bytes = chunk_bytes
+        self.k_syms = k_syms
+        self._fns: dict = {}
+        self._backend_fns: dict = {}
+
+    def decode_coefficients(self, plan: SyncPlan):
+        import jax
+
+        key = (plan.cache_key, int(plan.stream.shape[0]))
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = build_sync_decode_fn(plan, k_syms=self.k_syms)
+            self._fns[key] = fn
+        return fn(
+            jax.device_put(plan.stream),
+            jax.device_put(plan.img_bit_start),
+            jax.device_put(plan.img_bit_end),
+        )
+
+    def decode(self, datas: list[bytes]):
+        """bytes -> (device rgb/gray array, ok device scalar)."""
+        import jax
+        import jax.numpy as jnp
+
+        plan = prep_batch_sync(datas, self.chunk_bytes)
+        coeffs, ok = self.decode_coefficients(plan)
+
+        key = plan.cache_key
+        be = self._backend_fns.get(key)
+        if be is None:
+            from .batch import _gray_graph, _ycbcr_graph
+
+            quants = [
+                jnp.asarray(np.stack([plan.quants[c]] * plan.batch))
+                for c in range(plan.ncomp)
+            ]
+
+            @jax.jit
+            def run(c):
+                g = _grids(plan, c)
+                if plan.ncomp == 1:
+                    return _gray_graph(
+                        g[0].astype(jnp.int32), quants[0],
+                        height=plan.height, width=plan.width,
+                    )
+                return _ycbcr_graph(
+                    g[0].astype(jnp.int32), g[1].astype(jnp.int32),
+                    g[2].astype(jnp.int32), *quants,
+                    height=plan.height, width=plan.width, ratio=plan.ratio,
+                )
+
+            be = run
+            self._backend_fns[key] = be
+        return be(coeffs), ok
+
+
+def _grids(plan: SyncPlan, coeffs):
+    """[B, n_mcu*bpm, 64] -> per-component [B, bv, bh, 64]."""
+    import jax.numpy as jnp
+
+    B, mxx, myy = plan.batch, plan.mxx, plan.myy
+    x = coeffs.reshape(B, plan.n_mcu, plan.bpm, 64)
+    out = []
+    slot0 = 0
+    for c in range(plan.ncomp):
+        hc, vc = plan.hv[c]
+        nb = hc * vc
+        xc = x[:, :, slot0 : slot0 + nb, :]
+        xc = xc.reshape(B, myy, mxx, vc, hc, 64)
+        xc = jnp.transpose(xc, (0, 1, 3, 2, 4, 5)).reshape(
+            B, myy * vc, mxx * hc, 64
+        )
+        out.append(xc)
+        slot0 += nb
+    return out
