@@ -282,13 +282,29 @@ def decode(data: bytes):
     if stage != "seen_iend":
         raise UnexpectedEof("png: missing IEND")
 
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise FormatError(f"png: inflate failed: {e}") from e
-
     bpp_bits = _BITS_PER_PIXEL[st.color_depth]
     bpp = (bpp_bits + 7) // 8
+
+    # the IHDR fixes the inflated size exactly (per pass for Adam7);
+    # libdeflate decodes known-size streams 2-3x faster than zlib
+    if st.interlace:
+        expected = sum(
+            ph * (1 + (bpp_bits * pw + 7) // 8)
+            for pw, ph in (
+                _pass_dims(st.width, st.height, p) for p in range(7)
+            )
+            if pw > 0 and ph > 0
+        )
+    else:
+        expected = st.height * (1 + (bpp_bits * st.width + 7) // 8)
+    from ... import runtime
+
+    raw = runtime.zlib_decompress_sized(bytes(idat), expected)
+    if raw is None:
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            raise FormatError(f"png: inflate failed: {e}") from e
 
     if not st.interlace:
         row_bytes = (bpp_bits * st.width + 7) // 8

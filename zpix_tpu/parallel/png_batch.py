@@ -39,7 +39,15 @@ def parse_filtered(data: bytes):
             idat += payload
     if st.interlace:
         raise UnsupportedError("png: batched path is non-interlaced only")
-    return st, zlib.decompress(bytes(idat))
+    # IHDR fixes the inflated size exactly: height * (1 + row_bytes)
+    from .. import runtime
+
+    bits = _BITS_PER_PIXEL[st.color_depth]
+    expected = st.height * (1 + (bits * st.width + 7) // 8)
+    raw = runtime.zlib_decompress_sized(bytes(idat), expected)
+    if raw is None:
+        raw = zlib.decompress(bytes(idat))
+    return st, raw
 
 
 _JITTED: dict = {}
@@ -207,7 +215,15 @@ class BatchPngDecoder:
         if not datas:
             raise ValueError("png: empty batch")
         with trace("png_batch.inflate"):
-            parsed = [parse_filtered(d) for d in datas]
+            if len(datas) > 1 and (self.n_threads or 2) > 1:
+                # zlib.decompress releases the GIL: inflate images in
+                # parallel across the host cores
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=self.n_threads or 2) as ex:
+                    parsed = list(ex.map(parse_filtered, datas))
+            else:
+                parsed = [parse_filtered(d) for d in datas]
         metrics.count("png_batch.images", len(datas))
         st0 = parsed[0][0]
         for st, _ in parsed[1:]:

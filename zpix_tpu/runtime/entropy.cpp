@@ -1224,6 +1224,6 @@ extern "C" int zpix_parse_baseline_batch(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 8; }
+int zpix_entropy_abi_version() { return 9; }
 
 }  // extern "C"
