@@ -99,8 +99,7 @@ def main_onchip(batch: int, size: int, steps: int):
 
     dec = DeviceJpegDecoder()
     plan0 = prep_batch(pools[0])
-    coeffs, ok = dec.decode_coefficients(plan0)
-    out = dec._backend(plan0)(coeffs)
+    out, ok = dec._fused(plan0)(*dec._put(plan0))
     out.block_until_ready()
     okv = fetch_ok(ok)
     assert okv is not False, "on-chip decode failed integrity check"
@@ -116,8 +115,7 @@ def main_onchip(batch: int, size: int, steps: int):
             plan = fut.result()
             if i + 1 < steps:
                 fut = prepper.submit(prep_batch, pools[(i + 1) % len(pools)])
-            coeffs, ok = dec.decode_coefficients(plan)
-            outs.append((dec._backend(plan)(coeffs), ok))
+            outs.append(dec._fused(plan)(*dec._put(plan)))
             if i >= 2:
                 outs[i - 2][0].block_until_ready()
         for o, _ in outs:

@@ -339,7 +339,8 @@ def _bits_at4(jnp, w, p, n):
 
 
 def build_decode_fn(
-    plan: ScanPlan, *, k_syms: int = 6, max_steps: int = 16384, _stage: int = 2
+    plan: ScanPlan, *, k_syms: int = 6, max_steps: int = 16384, _stage: int = 2,
+    _raw: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -615,6 +616,8 @@ def build_decode_fn(
         coeffs = jnp.take(out, jnp.asarray(inv), axis=-1)
         return coeffs.astype(jnp.int16), ok
 
+    if _raw:
+        return decode
     return jax.jit(decode)
 
 
@@ -724,6 +727,48 @@ class DeviceJpegDecoder:
             self._backend_fns[key] = fn
         return fn
 
+    def _fused(self, plan: ScanPlan):
+        """One compiled program: entropy decode + dequant + IDCT +
+        upsample + color convert (no intermediate HBM roundtrip)."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
+               self.mesh is not None)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            from .batch import _gray_graph, _ycbcr_graph
+
+            body = build_decode_fn(
+                plan, k_syms=self.k_syms, max_steps=self.max_steps, _raw=True
+            )
+            quants = [
+                np.stack([plan.quants[c]] * plan.batch)
+                for c in range(plan.ncomp)
+            ]
+
+            def fused(stream, seg_bit_pos, seg_n_mcu):
+                coeffs, ok = body(stream, seg_bit_pos, seg_n_mcu)
+                g = coefficients_to_grids(plan, coeffs)
+                if plan.ncomp == 1:
+                    rgb = _gray_graph(
+                        g[0].astype(jnp.int32), jnp.asarray(quants[0]),
+                        height=plan.height, width=plan.width,
+                    )
+                else:
+                    rgb = _ycbcr_graph(
+                        g[0].astype(jnp.int32), g[1].astype(jnp.int32),
+                        g[2].astype(jnp.int32),
+                        *(jnp.asarray(q) for q in quants),
+                        height=plan.height, width=plan.width,
+                        ratio=plan.ratio,
+                    )
+                return rgb, ok
+
+            fn = jax.jit(fused)
+            self._decode_fns[key] = fn
+        return fn
+
     def decode(self, datas: list[bytes]):
         """bytes -> (rgb_or_gray device array, ok device scalar).
 
@@ -731,8 +776,7 @@ class DeviceJpegDecoder:
         (bool(ok)) to validate the batch decoded cleanly.
         """
         plan = prep_batch(datas)
-        coeffs, ok = self.decode_coefficients(plan)
-        return self._backend(plan)(coeffs), ok
+        return self._fused(plan)(*self._put(plan))
 
 
 def coefficients_to_grids(plan: ScanPlan, coeffs):

@@ -159,7 +159,10 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
     )
 
 
-def build_sync_decode_fn(plan: SyncPlan, *, k_syms: int = 6, max_rounds: int | None = None):
+def build_sync_decode_fn(
+    plan: SyncPlan, *, k_syms: int = 6, max_rounds: int | None = None,
+    _raw: bool = False,
+):
     """Returns a jitted fn: (stream, img_bit_start, img_bit_end) ->
     (coeffs [B, n_mcu*bpm, 64] int16 natural-order, ok flag)."""
     import jax
@@ -494,6 +497,8 @@ def build_sync_decode_fn(plan: SyncPlan, *, k_syms: int = 6, max_rounds: int | N
         coeffs = jnp.take(out, jnp.asarray(inv), axis=-1)
         return coeffs.astype(jnp.int16), ok
 
+    if _raw:
+        return decode
     return jax.jit(decode)
 
 
@@ -526,40 +531,51 @@ class SyncJpegDecoder:
         )
 
     def decode(self, datas: list[bytes]):
-        """bytes -> (device rgb/gray array, ok device scalar)."""
+        """bytes -> (device rgb/gray array, ok device scalar).
+
+        One compiled program covers sync rounds, index scan, value pass,
+        and the dense IDCT/color back-end.
+        """
         import jax
         import jax.numpy as jnp
 
         plan = prep_batch_sync(datas, self.chunk_bytes)
-        coeffs, ok = self.decode_coefficients(plan)
-
-        key = plan.cache_key
-        be = self._backend_fns.get(key)
-        if be is None:
+        key = ("fused", plan.cache_key, int(plan.stream.shape[0]))
+        fn = self._fns.get(key)
+        if fn is None:
             from .batch import _gray_graph, _ycbcr_graph
 
+            body = build_sync_decode_fn(plan, k_syms=self.k_syms, _raw=True)
             quants = [
-                jnp.asarray(np.stack([plan.quants[c]] * plan.batch))
+                np.stack([plan.quants[c]] * plan.batch)
                 for c in range(plan.ncomp)
             ]
 
-            @jax.jit
-            def run(c):
-                g = _grids(plan, c)
+            def fused(stream, s0, s1):
+                coeffs, ok = body(stream, s0, s1)
+                g = _grids(plan, coeffs)
                 if plan.ncomp == 1:
-                    return _gray_graph(
-                        g[0].astype(jnp.int32), quants[0],
+                    rgb = _gray_graph(
+                        g[0].astype(jnp.int32), jnp.asarray(quants[0]),
                         height=plan.height, width=plan.width,
                     )
-                return _ycbcr_graph(
-                    g[0].astype(jnp.int32), g[1].astype(jnp.int32),
-                    g[2].astype(jnp.int32), *quants,
-                    height=plan.height, width=plan.width, ratio=plan.ratio,
-                )
+                else:
+                    rgb = _ycbcr_graph(
+                        g[0].astype(jnp.int32), g[1].astype(jnp.int32),
+                        g[2].astype(jnp.int32),
+                        *(jnp.asarray(q) for q in quants),
+                        height=plan.height, width=plan.width,
+                        ratio=plan.ratio,
+                    )
+                return rgb, ok
 
-            be = run
-            self._backend_fns[key] = be
-        return be(coeffs), ok
+            fn = jax.jit(fused)
+            self._fns[key] = fn
+        return fn(
+            jax.device_put(plan.stream),
+            jax.device_put(plan.img_bit_start),
+            jax.device_put(plan.img_bit_end),
+        )
 
 
 def _grids(plan: SyncPlan, coeffs):
