@@ -514,7 +514,6 @@ class SyncJpegDecoder:
         self.chunk_bytes = chunk_bytes
         self.k_syms = k_syms
         self._fns: dict = {}
-        self._backend_fns: dict = {}
 
     def decode_coefficients(self, plan: SyncPlan):
         import jax

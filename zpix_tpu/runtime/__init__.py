@@ -24,7 +24,7 @@ _SRCS = [
     os.path.join(_HERE, "qoi.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 9
+_ABI_VERSION = 10
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -42,6 +42,9 @@ class HuffTableC(ctypes.Structure):
         ("vals_indices", ctypes.c_int32 * 16),
         ("vals", ctypes.c_uint8 * 256),
         ("num_codes", ctypes.c_int32),
+        # built lazily by the C++ side (ensure_lut16); leave zeroed
+        ("lut16_ready", ctypes.c_int32),
+        ("lut16", ctypes.c_uint16 * 65536),
     ]
 
 

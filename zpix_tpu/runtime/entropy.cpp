@@ -44,14 +44,35 @@ enum {
 };
 
 struct HuffTable {
-  // Layout mirrors zpix_tpu/codecs/jpeg/tables.py (HuffTable.zig).
+  // Layout mirrors zpix_tpu/codecs/jpeg/tables.py (HuffTable.zig),
+  // plus a full 16-bit-lookahead LUT built lazily on this side
+  // (entry = value << 5 | code_length; 0 = invalid) so the hot decode
+  // is one table hit with no slow path except at stream tails.
   uint16_t lut[256];
   int32_t min_codes[kMaxCodeLength];
   int32_t max_codes[kMaxCodeLength];
   int32_t vals_indices[kMaxCodeLength];
   uint8_t vals[256];
   int32_t num_codes;
+  int32_t lut16_ready;
+  uint16_t lut16[1 << 16];
 };
+
+void ensure_lut16(HuffTable* h) {
+  if (h->lut16_ready || h->num_codes == 0) return;
+  memset(h->lut16, 0, sizeof(h->lut16));
+  for (int i = 0; i < kMaxCodeLength; i++) {
+    if (h->max_codes[i] < 0) continue;
+    int ln = i + 1, sh = 16 - ln;
+    for (int32_t code = h->min_codes[i]; code <= h->max_codes[i]; code++) {
+      uint16_t e = uint16_t(
+          (h->vals[h->vals_indices[i] + code - h->min_codes[i]] << 5) | ln);
+      uint32_t b = uint32_t(code) << sh;
+      for (uint32_t k = 0; k < (1u << sh); k++) h->lut16[b + k] = e;
+    }
+  }
+  h->lut16_ready = 1;
+}
 
 struct ScanComp {
   int32_t c_index;   // component index in frame
@@ -158,13 +179,23 @@ struct BitReader {
     if (h->num_codes == 0) return ERR_UNINIT_TABLE;
     if (n < 16) refill();
     if (n >= 8) {
+      // L1-resident 8-bit LUT covers the common short codes
       uint16_t v = h->lut[uint32_t(a >> (n - 8)) & 0xFF];
       if (v != 0) {
         n -= int(v & 0xFF) - 1;
         *out = v >> 8;
         return OK;
       }
+      if (n >= 16) {
+        // long code: one 16-bit-lookahead hit instead of bit-serial
+        uint16_t e = h->lut16[uint32_t(a >> (n - 16)) & 0xFFFF];
+        if (e == 0) return ERR_BAD_HUFFMAN;
+        n -= int(e & 31);
+        *out = int(e >> 5);
+        return OK;
+      }
     }
+    // stream tail: bit-by-bit with exact unread/stop semantics
     return decode_huffman_slow(h, out);
   }
 
@@ -333,6 +364,13 @@ int zpix_decode_scan(
     int64_t* pos_out, int32_t* bits_n_out, int32_t* num_unreadable_out) {
   BitReader br{data, len, pos_in, 0, 0, OK, {0}, 0};
   RefineState rs{*eob_run_io};
+
+  // the caller-marshalled tables carry only the canonical fields;
+  // build the 16-bit decode LUTs in place (idempotent, ~64K writes)
+  for (int32_t k = 0; k < n_comp; k++) {
+    ensure_lut16(const_cast<HuffTable*>(&huff[scan[k].dc_table]));
+    ensure_lut16(const_cast<HuffTable*>(&huff[4 + scan[k].ac_table]));
+  }
 
   int32_t dc[4] = {0, 0, 0, 0};
   int32_t block_count = 0;
@@ -567,6 +605,8 @@ int build_huff(HuffTable* h, const uint8_t* counts, const uint8_t* vals,
     }
     code_base <<= 1;
   }
+  h->lut16_ready = 0;
+  ensure_lut16(h);
   return OK;
 }
 
@@ -1224,6 +1264,6 @@ extern "C" int zpix_parse_baseline_batch(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 9; }
+int zpix_entropy_abi_version() { return 10; }
 
 }  // extern "C"
