@@ -149,3 +149,25 @@ def test_corrupt_stream_flags_not_ok():
         assert not np.array_equal(np.asarray(out), np.asarray(ref))
     else:
         assert not bool(ok)
+
+
+def test_huge_restart_interval():
+    """The pass-1 step ceiling is derived from the longest segment, so a
+    large-DRI dense image must still decode (found by review: a fixed
+    16384-step cap failed segments over ~130k symbols)."""
+    import io
+
+    from PIL import Image
+
+    x = np.linspace(0, 40, 1024)
+    base = (128 + 100 * np.sin(x[None, :] * np.cos(x[:, None]))).astype(np.uint8)
+    rgb = np.stack([base, base.T, base // 2], -1)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(
+        buf, format="JPEG", quality=90, subsampling=2, restart_marker_rows=16
+    )
+    data = buf.getvalue()
+    img, ok = DeviceJpegDecoder().decode([data])
+    assert bool(ok)
+    ref = np.asarray(BatchJpegDecoder().decode([data]))
+    assert np.array_equal(np.asarray(img)[0], ref[0])

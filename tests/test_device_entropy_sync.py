@@ -98,3 +98,39 @@ def test_corruption_detected(testdata):
         return  # rejected at destuff: acceptable
     if bool(ok):
         assert not np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_flat_low_entropy_image():
+    """Tiny blocks (DC+EOB only, ~4-6 bits) must not overflow the
+    per-chunk block-end capacity (found by review: mb=chunk_bytes failed
+    every flat image)."""
+    import io
+
+    from PIL import Image
+
+    flat = np.full((64, 64, 3), 128, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(flat).save(buf, format="JPEG", quality=50, subsampling=2)
+    img, ok = SyncJpegDecoder().decode([buf.getvalue()])
+    assert bool(ok)
+    ref = np.asarray(BatchJpegDecoder().decode([buf.getvalue()]))
+    assert np.array_equal(np.asarray(img)[0], ref[0])
+
+
+def test_rejects_cmyk_and_rgb(testdata):
+    """4-component and RGB-colorspace JPEGs need applyBlack/convertToRGB
+    (decoder.zig:699-902) and must raise a typed error, not decode with
+    YCbCr math or crash."""
+    import io
+
+    from PIL import Image
+
+    flat = np.full((32, 32, 3), 90, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(flat).convert("CMYK").save(buf, format="JPEG")
+    with pytest.raises(UnsupportedError):
+        prep_batch_sync([buf.getvalue()])
+    with open(os.path.join(testdata, "video-001.rgb.jpeg"), "rb") as f:
+        rgb = f.read()
+    with pytest.raises(UnsupportedError):
+        prep_batch_sync([rgb])

@@ -77,6 +77,7 @@ class ScanPlan:
     stream: np.ndarray  # uint8, destuffed segments back to back (+pad)
     seg_bit_pos: np.ndarray  # int32 [B*n_segs] absolute bit offsets
     seg_n_mcu: np.ndarray  # int32 [B*n_segs] MCUs in each segment
+    max_seg_bits: int  # longest restart segment (bounds pass-1 steps)
     batch: int
     cache_key: tuple = None  # (geometry, tables, dri) bucket for jit reuse
 
@@ -94,6 +95,8 @@ def _parse_headers(data: bytes):
     huffs = {}  # (tc, th) -> HuffTable
     sof = None
     dri = 0
+    jfif = False
+    adobe_transform = None
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1  # liberal skip (decoder.zig:248-264)
@@ -109,6 +112,8 @@ def _parse_headers(data: bytes):
             break
         seg_len = (data[pos] << 8) | data[pos + 1]
         body = data[pos + 2 : pos + seg_len]
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedError("jpeg: only baseline/extended-sequential DCT")
         if marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
             prec, h, w, nc = body[0], (body[1] << 8) | body[2], (body[3] << 8) | body[4], body[5]
             if prec != 8:
@@ -154,6 +159,11 @@ def _parse_headers(data: bytes):
                 quants[tq] = nat
         elif marker == 0xDD:
             dri = (body[0] << 8) | body[1]
+        elif marker == 0xE0:  # APP0 (JFIF)
+            jfif = jfif or body[:5] == b"JFIF\x00"
+        elif marker == 0xEE:  # APP14 (Adobe transform byte)
+            if body[:6] == b"Adobe\x00" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             sel = []
@@ -161,6 +171,36 @@ def _parse_headers(data: bytes):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 sel.append((cs, tt >> 4, tt & 15))
             scan_start = pos + seg_len
+            if sof is None:
+                raise FormatError("jpeg: SOS before SOF")
+            w, h, nc, comps = sof
+            if nc not in (1, 3):
+                raise UnsupportedError(
+                    "jpeg: device decode covers 1- and 3-component frames"
+                )
+            # RGB JPEGs (Adobe transform=0 or R/G/B component ids,
+            # decoder.zig:699-709) need convertToRGB, not YCbCr math
+            ids = tuple(c[0] for c in comps)
+            is_rgb = (not jfif) and (
+                adobe_transform == 0
+                or (adobe_transform is None and ids == (0x52, 0x47, 0x42))
+            )
+            if nc == 3 and is_rgb:
+                raise UnsupportedError("jpeg: RGB color space not on-device")
+            if nc == 3:
+                (h0, v0), (h1, v1), (h2, v2) = (
+                    (c[1], c[2]) for c in comps
+                )
+                if (h1, v1) != (h2, v2) or min(h1, v1) < 1:
+                    raise UnsupportedError(
+                        "jpeg: chroma planes must share sampling factors"
+                    )
+                if h0 % h1 or v0 % v1 or ((h0 // h1) << 4 | (v0 // v1)) not in (
+                    0x11, 0x12, 0x21, 0x22, 0x41, 0x42
+                ):
+                    raise UnsupportedError(
+                        f"jpeg: unsupported sampling {h0}{v0}:{h1}{v1}:{h2}{v2}"
+                    )
             return sof, quants, huffs, dri, tuple(sel), scan_start
         pos += seg_len
     raise FormatError("jpeg: no SOS")
@@ -181,8 +221,10 @@ def _destuff(data: bytes, scan_start: int):
     end = int(eoi[0]) if len(eoi) else len(d)
     stuffed = stuffed[stuffed < end]
     rst = rst[rst < end]
-    other = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD9)) & (nxt != 0xFF)]
+    other = ff[(nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD9))]
     if len(other) and int(other[0]) < end:
+        # includes FF FF, which the reference rejects as MissingFF00
+        # (decoder.zig:712-749) — fall back to the host decoder
         raise UnsupportedError("jpeg: unexpected marker inside scan data")
     # bytes to drop: each stuffed 00, and both bytes of each RST
     drop = np.concatenate([stuffed + 1, rst, rst + 1])
@@ -265,6 +307,12 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
     seg_bit_pos = np.concatenate(
         [(o + p) * 8 for o, p in zip(offs, seg_pos_all)]
     ).astype(np.int64)
+    max_seg_bits = 8 * max(
+        int(np.max(np.diff(np.concatenate([starts, [len(stream_)]]))))
+        for starts, stream_ in zip(seg_pos_all, streams)
+    )
+    # pow2 bucket so the step cap doesn't retrace per byte count
+    max_seg_bits = 1 << max(10, (max_seg_bits - 1).bit_length())
     nm = np.full(n_segs, dri, np.int32)
     nm[-1] = n_mcu - dri * (n_segs - 1)
     seg_n_mcu = np.tile(nm, len(datas)).astype(np.int32)
@@ -283,7 +331,8 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         quants=[quants[c[3]] for c in comps],
         lut16=lut16, tid_dc=tid_dc, tid_ac=tid_ac,
         stream=flat, seg_bit_pos=seg_bit_pos, seg_n_mcu=seg_n_mcu,
-        batch=len(datas), cache_key=(first[0], len(datas)),
+        max_seg_bits=max_seg_bits, batch=len(datas),
+        cache_key=(first[0], len(datas), max_seg_bits),
     )
 
 
@@ -296,21 +345,6 @@ def _select_by_index(jnp, idx, values):
     for j in range(1, len(values)):
         out = jnp.where(idx == j, jnp.int32(values[j]), out)
     return out
-
-
-def _bits_at(jnp, hi, lo, p, n):
-    """Extract bits [p, p+n) (MSB-first) from the 64-bit window (hi, lo).
-
-    p and n are per-lane int32; requires p + n <= 64 and n <= 25.
-    Returns uint32 with the n bits right-aligned.
-    """
-    u32 = jnp.uint32
-    # 32-bit word starting at bit p: hi<<p | lo>>(32-p) (p<32), else lo<<(p-32)
-    p_lo = (p & 31).astype(u32)  # masked: the a-arm is only selected for p<32
-    a = jnp.where(p_lo > 0, (hi << p_lo) | _rshift(jnp, lo, 32 - p), hi)
-    b = lo << jnp.where(p >= 32, ((p - 32) & 31).astype(u32), u32(0))
-    w = jnp.where(p < 32, a, b)
-    return _rshift(jnp, w, 32 - n)
 
 
 def _rshift(jnp, x, n):
@@ -338,9 +372,133 @@ def _bits_at4(jnp, w, p, n):
     return _rshift(jnp, word, 32 - n)
 
 
+
+def _value_pass(jax, jnp, *, win, lut, n, starts, done0, tid_dc2, tid_ac2,
+                k_syms):
+    """Shared value pass: one lane per 8x8 block at a known bit offset.
+
+    Decodes DC diff + AC run-length coefficients into a per-lane [64]
+    zigzag row (one-hot emissions, one carry read-modify-write per step;
+    RECEIVE/EXTEND per T.81 F.2.2.1, decoder.zig:1115-1134).  Returns the
+    final while_loop state (bit_pos, cur, k, phase, done, err, steps) —
+    bit_pos lands on each block's end boundary, which callers check
+    against the index pass for exact verification.
+    """
+    L2 = starts.shape[0]
+
+    def body2(st):
+        (bit_pos, cur, k, phase, done, err, steps) = st
+        byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+        w4 = win[byte]
+        w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+        off0 = (bit_pos & 7).astype(jnp.int32)
+        off = off0
+        upd = jnp.zeros_like(cur)  # step's coefficient emissions
+
+        for _ in range(k_syms):
+            active = (~done) & (off <= 80)
+            look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+            tid = jnp.where(phase == 0, tid_dc2, tid_ac2)
+            ent = lut[tid * 65536 + look16]
+            ln_sel = ent & 31
+            sym = ent >> 5
+            bad = active & (ent == 0)
+
+            is_dc = phase == 0
+            r = jnp.where(is_dc, 0, sym >> 4)
+            size = jnp.where(is_dc, sym, sym & 15)
+            ext_off = off + ln_sel
+            raw = _bits_at4(
+                jnp, w, ext_off, jnp.clip(size, 0, 16)
+            ).astype(jnp.int32)
+            raw = jnp.where(size > 0, raw, 0)
+            # RECEIVE/EXTEND, branch-free (decoder.zig:1115-1134)
+            sz = jnp.clip(size, 0, 16)
+            bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
+            top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
+            ext = jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
+
+            consume = ln_sel + size
+            new_k = jnp.where(is_dc, 1, k)
+            emit_k = jnp.where(is_dc, 0, jnp.clip(k + r, 0, 63))
+            ac_coef = (~is_dc) & (size > 0)
+            # DC emits the raw diff; predictor chain restored afterwards.
+            emit_v = jnp.where(is_dc, ext, jnp.where(ac_coef, ext, 0))
+            do_emit = is_dc | ac_coef
+            new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
+            eob = (~is_dc) & (size == 0) & (r != 15)
+            zrl = (~is_dc) & (size == 0) & (r == 15)
+            new_k = jnp.where(zrl, k + 16, new_k)
+            blk_done = (eob | (new_k > 63)) & ~is_dc
+
+            app = active & ~bad
+            upd = upd + jnp.where(
+                (app & do_emit)[:, None],
+                _onehot(jnp, emit_k, 64) * emit_v[:, None],
+                0,
+            )
+            k = jnp.where(app, new_k, k)
+            phase = jnp.where(app & is_dc, 1, phase)
+            off = jnp.where(app, off + consume, off)
+            err = err | bad
+            done = done | (app & blk_done) | bad
+        cur = cur + upd  # one read-modify-write of cur per step
+        bit_pos = bit_pos - off0 + off
+        return (bit_pos, cur, k, phase, done, err, steps + 1)
+
+    def cond2(st):
+        # a block holds <= 64 symbols and every step decodes >= 1
+        n_done = jnp.sum(st[4].astype(jnp.int32))
+        return (n_done < st[4].shape[0]) & (st[6] < 80)
+
+    return jax.lax.while_loop(
+        cond2,
+        body2,
+        (
+            starts,
+            jnp.zeros((L2, 64), jnp.int32),
+            jnp.zeros(L2, jnp.int32),
+            jnp.zeros(L2, jnp.int32),
+            done0,
+            jnp.zeros(L2, bool),
+            jnp.int32(0),
+        ),
+    )
+
+
+def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp):
+    """DC-predictor restore + zigzag->natural reorder.
+
+    cur: [groups * n_mcu_grp * bpm, 64] zigzag rows whose position 0 is
+    the raw DC DIFF.  A group is one predictor chain (a restart segment,
+    or a whole restart-free image).  Per component, adds the EXCLUSIVE
+    prefix sum of preceding diffs at position 0 as a broadcast add (a
+    minor-axis slice/concat wedges the tunneled backend), then applies
+    the static zigzag inverse.  Returns [groups, n_mcu_grp * bpm, 64]
+    int16 natural-order coefficients (decoder.zig:1366-1376, :73-82).
+    """
+    coeff = cur.reshape(groups, n_mcu_grp, bpm, 64)
+    dc = coeff[..., 0]  # [G, M, bpm] raw diffs
+    parts = []
+    s0 = 0
+    for c in range(ncomp):
+        nbc = hv[c][0] * hv[c][1]
+        d = dc[:, :, s0 : s0 + nbc].reshape(groups, -1)
+        pre = (jnp.cumsum(d, axis=1) - d).reshape(groups, n_mcu_grp, nbc)
+        parts.append(pre)
+        s0 += nbc
+    corr = jnp.concatenate(parts, axis=2)  # [G, M, bpm]
+    one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
+    coeff = coeff + corr[..., None] * one0
+    out = coeff.reshape(groups, n_mcu_grp * bpm, 64)
+    inv = np.zeros(64, np.int64)
+    inv[UNZIG] = np.arange(64)
+    return jnp.take(out, jnp.asarray(inv), axis=-1).astype(jnp.int16)
+
+
 def build_decode_fn(
-    plan: ScanPlan, *, k_syms: int = 6, max_steps: int = 16384, _stage: int = 2,
-    _raw: bool = False,
+    plan: ScanPlan, *, k_syms: int = 6, max_steps: int | None = None,
+    _stage: int = 2, _raw: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -381,8 +539,11 @@ def build_decode_fn(
     tid_of_slot_dc = tuple(plan.tid_dc[c] for c in comp_of_slot)
     tid_of_slot_ac = tuple(plan.tid_ac[c] for c in comp_of_slot)
     lut_const = plan.lut16.reshape(-1)  # [ntab * 65536]
-    unzig_const = UNZIG  # zigzag k -> natural index
     k1 = max(k_syms + 2, 8)  # pass-1 symbols/step (no extend reads: cheap)
+    if max_steps is None:
+        # every pass-1 step consumes >= k1 symbols of >= 2 bits each (or
+        # finishes the lane), so the longest segment bounds the loop
+        max_steps = plan.max_seg_bits // (2 * k1) + 64
 
     def decode(stream, seg_bit_pos, seg_n_mcu):
         L1 = seg_bit_pos.shape[0]
@@ -499,83 +660,9 @@ def build_decode_fn(
         tid_dc2 = _select_by_index(jnp, slot2, tid_of_slot_dc)
         tid_ac2 = _select_by_index(jnp, slot2, tid_of_slot_ac)
 
-        def body2(st):
-            (bit_pos, cur, k, phase, done, err, steps) = st
-            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-            w4 = win[byte]
-            w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
-            off0 = (bit_pos & 7).astype(jnp.int32)
-            off = off0
-            upd = jnp.zeros_like(cur)  # step's coefficient emissions
-
-            for _ in range(k_syms):
-                active = (~done) & (off <= 80)
-                look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
-                tid = jnp.where(phase == 0, tid_dc2, tid_ac2)
-                ent = lut[tid * 65536 + look16]
-                ln_sel = ent & 31
-                sym = ent >> 5
-                bad = active & (ent == 0)
-
-                is_dc = phase == 0
-                r = jnp.where(is_dc, 0, sym >> 4)
-                size = jnp.where(is_dc, sym, sym & 15)
-                ext_off = off + ln_sel
-                raw = _bits_at4(
-                    jnp, w, ext_off, jnp.clip(size, 0, 16)
-                ).astype(jnp.int32)
-                raw = jnp.where(size > 0, raw, 0)
-                # RECEIVE/EXTEND, branch-free (decoder.zig:1115-1134)
-                sz = jnp.clip(size, 0, 16)
-                bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
-                top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
-                ext = jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
-
-                consume = ln_sel + size
-                new_k = jnp.where(is_dc, 1, k)
-                emit_k = jnp.where(is_dc, 0, jnp.clip(k + r, 0, 63))
-                ac_coef = (~is_dc) & (size > 0)
-                # DC emits the raw diff; predictor chain restored below.
-                emit_v = jnp.where(is_dc, ext, jnp.where(ac_coef, ext, 0))
-                do_emit = is_dc | ac_coef
-                new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
-                eob = (~is_dc) & (size == 0) & (r != 15)
-                zrl = (~is_dc) & (size == 0) & (r == 15)
-                new_k = jnp.where(zrl, k + 16, new_k)
-                blk_done = (eob | (new_k > 63)) & ~is_dc
-
-                app = active & ~bad
-                upd = upd + jnp.where(
-                    (app & do_emit)[:, None],
-                    _onehot(jnp, emit_k, 64) * emit_v[:, None],
-                    0,
-                )
-                k = jnp.where(app, new_k, k)
-                phase = jnp.where(app & is_dc, 1, phase)
-                off = jnp.where(app, off + consume, off)
-                err = err | bad
-                done = done | (app & blk_done) | bad
-            cur = cur + upd  # one read-modify-write of cur per step
-            bit_pos = bit_pos - off0 + off
-            return (bit_pos, cur, k, phase, done, err, steps + 1)
-
-        def cond2(st):
-            # a block holds <= 64 symbols and every step decodes >= 1
-            n_done = jnp.sum(st[4].astype(jnp.int32))
-            return (n_done < st[4].shape[0]) & (st[6] < 80)
-
-        st2 = jax.lax.while_loop(
-            cond2,
-            body2,
-            (
-                starts,
-                jnp.zeros((L2, 64), jnp.int32),
-                jnp.zeros(L2, jnp.int32),
-                jnp.zeros(L2, jnp.int32),
-                ~valid,  # padding lanes start done
-                jnp.zeros(L2, bool),
-                jnp.int32(0),
-            ),
+        st2 = _value_pass(
+            jax, jnp, win=win, lut=lut, n=n, starts=starts,
+            done0=~valid, tid_dc2=tid_dc2, tid_ac2=tid_ac2, k_syms=k_syms,
         )
         cur = st2[1]
         if _stage == 15:  # debug: value pass, raw
@@ -591,30 +678,11 @@ def build_decode_fn(
         if _stage == 17:  # debug: + integrity check
             return cur.astype(jnp.int16), ok
 
-        coeff = cur.reshape(L1, n_mcu_seg, bpm, 64)
-        # restore the DC predictor chain: per component, add the EXCLUSIVE
-        # prefix sum of preceding blocks' diffs at zigzag position 0
-        # (slots of one component are consecutive within the MCU), as a
-        # broadcast add — no minor-axis slicing/concat.
-        dc = coeff[..., 0]  # [L1, n_mcu_seg, bpm] raw diffs
-        parts = []
-        s0 = 0
-        for c in range(plan.ncomp):
-            nbc = plan.hv[c][0] * plan.hv[c][1]
-            d = dc[:, :, s0 : s0 + nbc].reshape(L1, -1)
-            pre = (jnp.cumsum(d, axis=1) - d).reshape(L1, n_mcu_seg, nbc)
-            parts.append(pre)
-            s0 += nbc
-        corr = jnp.concatenate(parts, axis=2)  # [L1, n_mcu_seg, bpm]
-        one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
-        coeff = coeff + corr[..., None] * one0
-        out = coeff.reshape(L1, nblk, 64)
-
-        # zigzag -> natural order (static permutation on the last axis)
-        inv = np.zeros(64, np.int64)
-        inv[unzig_const] = np.arange(64)
-        coeffs = jnp.take(out, jnp.asarray(inv), axis=-1)
-        return coeffs.astype(jnp.int16), ok
+        coeffs = _restore_dc_and_reorder(
+            jnp, cur, groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
+            hv=plan.hv, ncomp=plan.ncomp,
+        )
+        return coeffs, ok
 
     if _raw:
         return decode
@@ -623,14 +691,6 @@ def build_decode_fn(
 
 def _onehot(jnp, idx, n):
     return (idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.int32)
-
-
-def _take3(jnp, arr, idx, n):
-    """arr [L, n] select column per lane (n tiny, unrolled)."""
-    out = arr[:, 0]
-    for j in range(1, n):
-        out = jnp.where(idx == j, arr[:, j], out)
-    return out
 
 
 # ------------------------------------------------------------- assembly
@@ -675,8 +735,9 @@ class DeviceJpegDecoder:
         ndev = self.mesh.shape["batch"]
         if (plan.batch * plan.n_segs) % ndev:
             raise ValueError(
-                f"jpeg: lanes ({plan.batch}x{plan.n_segs}) must divide the "
-                f"mesh batch axis ({ndev}); pad the batch"
+                f"jpeg: the mesh batch axis ({ndev}) must divide the lane "
+                f"count ({plan.batch} images x {plan.n_segs} segments); "
+                "pad the batch"
             )
         repl = NamedSharding(self.mesh, P())
         lanes = NamedSharding(self.mesh, P("batch"))

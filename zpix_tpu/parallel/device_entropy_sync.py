@@ -40,7 +40,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..codecs.jpeg.tables import UNZIG
 from ..errors import UnsupportedError
 from .device_entropy import (
     _bits_at4,
@@ -48,7 +47,9 @@ from .device_entropy import (
     _lut16,
     _onehot,
     _parse_headers,
+    _restore_dc_and_reorder,
     _select_by_index,
+    _value_pass,
 )
 
 
@@ -154,7 +155,9 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
         lut16=lut16, tid_dc=tid_dc, tid_ac=tid_ac,
         stream=flat, img_bit_start=img_bit_start, img_bit_end=img_bit_end,
         chunk_bytes=chunk_bytes, n_chunks=n_chunks,
-        mb=chunk_bytes,  # block-end capacity: blocks >= 8 entropy bits
+        # worst-case block = DC code + EOB code = 2 bits, so a chunk of
+        # 8*chunk_bytes bits can complete at most 4*chunk_bytes blocks
+        mb=4 * chunk_bytes,
         batch=len(datas), cache_key=(first[0], len(datas), chunk_bytes),
     )
 
@@ -390,80 +393,10 @@ def build_sync_decode_fn(
         tid_dc2 = _select_by_index(jnp, slot2, tid_of_slot_dc)
         tid_ac2 = _select_by_index(jnp, slot2, tid_of_slot_ac)
 
-        def body2(st):
-            (bit_pos, cur, k, phase, done, err, steps) = st
-            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-            w4 = win[byte]
-            w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
-            off0 = (bit_pos & 7).astype(jnp.int32)
-            off = off0
-            upd = jnp.zeros_like(cur)
-
-            for _ in range(k_syms):
-                active = (~done) & (off <= 80)
-                look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
-                tid = jnp.where(phase == 0, tid_dc2, tid_ac2)
-                ent = lut[tid * 65536 + look16]
-                ln_sel = ent & 31
-                sym = ent >> 5
-                bad = active & (ent == 0)
-
-                is_dc = phase == 0
-                r = jnp.where(is_dc, 0, sym >> 4)
-                size = jnp.where(is_dc, sym, sym & 15)
-                ext_off = off + ln_sel
-                raw = _bits_at4(
-                    jnp, w, ext_off, jnp.clip(size, 0, 16)
-                ).astype(jnp.int32)
-                raw = jnp.where(size > 0, raw, 0)
-                sz = jnp.clip(size, 0, 16)
-                bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
-                top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
-                ext = jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
-
-                consume = ln_sel + size
-                new_k = jnp.where(is_dc, 1, k)
-                emit_k = jnp.where(is_dc, 0, jnp.clip(k + r, 0, 63))
-                ac_coef = (~is_dc) & (size > 0)
-                emit_v = jnp.where(is_dc, ext, jnp.where(ac_coef, ext, 0))
-                do_emit = is_dc | ac_coef
-                new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
-                eob = (~is_dc) & (size == 0) & (r != 15)
-                zrl = (~is_dc) & (size == 0) & (r == 15)
-                new_k = jnp.where(zrl, k + 16, new_k)
-                blk_done = (eob | (new_k > 63)) & ~is_dc
-
-                app = active & ~bad
-                upd = upd + jnp.where(
-                    (app & do_emit)[:, None],
-                    _onehot(jnp, emit_k, 64) * emit_v[:, None],
-                    0,
-                )
-                k = jnp.where(app, new_k, k)
-                phase = jnp.where(app & is_dc, 1, phase)
-                off = jnp.where(app, off + consume, off)
-                err = err | bad
-                done = done | (app & blk_done) | bad
-            cur = cur + upd
-            bit_pos = bit_pos - off0 + off
-            return (bit_pos, cur, k, phase, done, err, steps + 1)
-
-        def cond2(st):
-            n_done = jnp.sum(st[4].astype(jnp.int32))
-            return (n_done < L2) & (st[6] < 80)
-
-        st2 = jax.lax.while_loop(
-            cond2,
-            body2,
-            (
-                starts,
-                jnp.zeros((L2, 64), jnp.int32),
-                jnp.zeros(L2, jnp.int32),
-                jnp.zeros(L2, jnp.int32),
-                jnp.zeros(L2, bool),
-                jnp.zeros(L2, bool),
-                jnp.int32(0),
-            ),
+        st2 = _value_pass(
+            jax, jnp, win=win, lut=lut, n=n, starts=starts,
+            done0=jnp.zeros(L2, bool), tid_dc2=tid_dc2, tid_ac2=tid_ac2,
+            k_syms=k_syms,
         )
         cur = st2[1]
         agree = st2[0] == ends_global.reshape(L2)
@@ -477,25 +410,11 @@ def build_sync_decode_fn(
             & jnp.all(agree)
         )
 
-        coeff = cur.reshape(B, n_mcu, bpm, 64)
-        dc = coeff[..., 0]
-        parts = []
-        s0 = 0
-        for c in range(plan.ncomp):
-            nbc = plan.hv[c][0] * plan.hv[c][1]
-            d = dc[:, :, s0 : s0 + nbc].reshape(B, -1)
-            pre = (jnp.cumsum(d, axis=1) - d).reshape(B, n_mcu, nbc)
-            parts.append(pre)
-            s0 += nbc
-        corr = jnp.concatenate(parts, axis=2)
-        one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
-        coeff = coeff + corr[..., None] * one0
-        out = coeff.reshape(B, nblk_img, 64)
-
-        inv = np.zeros(64, np.int64)
-        inv[UNZIG] = np.arange(64)
-        coeffs = jnp.take(out, jnp.asarray(inv), axis=-1)
-        return coeffs.astype(jnp.int16), ok
+        coeffs = _restore_dc_and_reorder(
+            jnp, cur, groups=B, n_mcu_grp=n_mcu, bpm=bpm,
+            hv=plan.hv, ncomp=plan.ncomp,
+        )
+        return coeffs, ok
 
     if _raw:
         return decode

@@ -24,7 +24,7 @@ _SRCS = [
     os.path.join(_HERE, "qoi.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 10
+_ABI_VERSION = 11
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101

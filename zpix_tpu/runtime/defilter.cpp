@@ -40,12 +40,15 @@ inline uint8_t paeth(uint8_t a, uint8_t b, uint8_t c) {
 // Stores write only bpp bytes.
 
 inline __m128i load4(const uint8_t* p) {
-  return _mm_cvtsi32_si128(*reinterpret_cast<const int32_t*>(p));
+  // memcpy: unaligned type-punned loads are UB; this compiles to one mov
+  int32_t w;
+  memcpy(&w, p, 4);
+  return _mm_cvtsi32_si128(w);
 }
 inline void store_px(uint8_t* p, __m128i v, int32_t bpp) {
   int32_t w = _mm_cvtsi128_si32(v);
   if (bpp == 4) {
-    *reinterpret_cast<int32_t*>(p) = w;
+    memcpy(p, &w, 4);
   } else {
     p[0] = uint8_t(w);
     p[1] = uint8_t(w >> 8);
