@@ -23,6 +23,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 
+def make_digest():
+    """Device-side content-dependent checksum, chained across steps.
+
+    The tunneled backend can (a) replay cached results per (program,
+    inputs) and (b) return from block_until_ready() without waiting
+    (CLAUDE.md axon gotchas, 2026-08-18) — so the ONLY honest timing
+    fetches a scalar that depends on every timed output.  Chaining acc
+    through all steps and fetching it once forces real completion of
+    the whole pipeline at one ~30 ms roundtrip cost.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(acc, out):
+        x = out.reshape(-1).astype(jnp.uint32)
+        w = (
+            jnp.arange(x.size, dtype=jnp.uint32) * jnp.uint32(2654435761)
+        ) % jnp.uint32(65521)
+        return acc * jnp.uint32(16777619) + jnp.sum(x * w, dtype=jnp.uint32)
+
+    return step
+
+
 def make_bench_jpeg(
     size: int = 1024, quality: int = 50, seed: int = 0, dri_blocks: int | None = None
 ) -> bytes:
@@ -76,7 +100,7 @@ def main_onchip(batch: int, size: int, steps: int):
 
     from zpix_tpu.parallel.device_entropy import DeviceJpegDecoder, prep_batch
 
-    dri = int(os.environ.get("BENCH_DRI", "8"))
+    dri = int(os.environ.get("BENCH_DRI", "4"))
     pools = make_pools(steps, batch, size, dri_blocks=dri)
     mpix_per_image = size * size / 1e6
 
@@ -97,10 +121,13 @@ def main_onchip(batch: int, size: int, steps: int):
             return None
         return box["v"]
 
+    import jax.numpy as jnp
+
     dec = DeviceJpegDecoder()
+    digest = make_digest()
     plan0 = prep_batch(pools[0])
     out, ok = dec._fused(plan0)(*dec._put(plan0))
-    out.block_until_ready()
+    _ = int(digest(jnp.uint32(0), out))  # compile digest + force warmup
     okv = fetch_ok(ok)
     assert okv is not False, "on-chip decode failed integrity check"
 
@@ -109,17 +136,17 @@ def main_onchip(batch: int, size: int, steps: int):
     best = float("inf")
     for _trial in range(trials):
         t0 = time.perf_counter()
+        acc = jnp.uint32(_trial + 1)
         fut = prepper.submit(prep_batch, pools[0])
         outs = []
         for i in range(steps):
             plan = fut.result()
             if i + 1 < steps:
                 fut = prepper.submit(prep_batch, pools[(i + 1) % len(pools)])
-            outs.append(dec._fused(plan)(*dec._put(plan)))
-            if i >= 2:
-                outs[i - 2][0].block_until_ready()
-        for o, _ in outs:
-            o.block_until_ready()
+            out, ok = dec._fused(plan)(*dec._put(plan))
+            outs.append((out, ok))
+            acc = digest(acc, out)
+        _ = int(acc)  # single D2H fetch forces completion of every step
         best = min(best, time.perf_counter() - t0)
     assert fetch_ok(outs[-1][1]) is not False
     mpix_s = steps * batch * mpix_per_image / best
@@ -137,7 +164,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "24"))
     workers = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 8)))
 
-    if os.environ.get("BENCH_MODE", "hostfe") == "onchip":
+    if os.environ.get("BENCH_MODE", "onchip") == "onchip":
         mpix_s = main_onchip(batch, size, steps)
         print(
             json.dumps(
@@ -217,10 +244,13 @@ def main():
             layout=layout, batch=batch, perm_y=perm_y, perm_c=perm_c,
         )
 
+    import jax.numpy as jnp
+
     # Warmup: compile + first transfers.
+    digest = make_digest()
     packed = host_batch()
     out = device_step(packed)
-    out.block_until_ready()
+    _ = int(digest(jnp.uint32(0), out))  # compile digest + force warmup
 
     # Overlapped pipeline: parse(i+2) || upload(i+1) || compute(i).  The
     # shared 2-core host and tunneled chip make single runs noisy, so take
@@ -229,11 +259,11 @@ def main():
     best = float("inf")
     for _trial in range(trials):
         t0 = time.perf_counter()
+        acc = jnp.uint32(_trial + 1)
         parse_futs = [parser.submit(parse_slot, s, s) for s in range(slots)]
         upload_futs = [
             uploader.submit(upload_slot, parse_futs[s]) for s in range(slots)
         ]
-        outs = []
         for i in range(steps):
             dev_buf = upload_futs[i % slots].result()
             if i + slots < steps:
@@ -243,11 +273,8 @@ def main():
                 upload_futs[i % slots] = uploader.submit(
                     upload_slot, parse_futs[i % slots]
                 )
-            outs.append(device_step(dev_buf))
-            if i >= 2:
-                outs[i - 2].block_until_ready()  # bound in-flight depth
-        for o in outs:
-            o.block_until_ready()
+            acc = digest(acc, device_step(dev_buf))
+        _ = int(acc)  # single D2H fetch forces completion of every step
         best = min(best, time.perf_counter() - t0)
 
     total_mpix = steps * batch * mpix_per_image
@@ -260,9 +287,10 @@ def main():
     fe_mpix_s = 3 * batch * mpix_per_image / (time.perf_counter() - t1)
 
     t2 = time.perf_counter()
-    outs = [device_step(packed) for _ in range(3)]
-    for o in outs:
-        o.block_until_ready()
+    acc = jnp.uint32(99)
+    for _ in range(3):
+        acc = digest(acc, device_step(packed))
+    _ = int(acc)  # NB: same inputs -> replay-capable; number is optimistic
     dev_mpix_s = 3 * batch * mpix_per_image / (time.perf_counter() - t2)
 
     # PNG RGB8 secondary metric (BASELINE measurement line).
@@ -283,14 +311,13 @@ def main():
         png_data = buf.getvalue()
         dec = BatchPngDecoder(n_threads=workers)
         out = dec.decode([png_data] * batch)
-        out.block_until_ready()
+        _ = int(digest(jnp.uint32(0), out))
         t3 = time.perf_counter()
         png_steps = 4
-        outs = []
+        acc = jnp.uint32(7)
         for _ in range(png_steps):
-            outs.append(dec.decode([png_data] * batch))
-        for o in outs:
-            o.block_until_ready()
+            acc = digest(acc, dec.decode([png_data] * batch))
+        _ = int(acc)
         png_mpix_s = png_steps * batch * mpix_per_image / (time.perf_counter() - t3)
     except Exception as e:  # secondary metric must not break the bench
         print(f"# png bench skipped: {e!r}", file=sys.stderr)
