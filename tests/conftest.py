@@ -25,6 +25,15 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Small loop unrolls for the on-chip decoders: XLA:CPU compiles the big
+# production-default bodies (~12-16 symbols/step) very slowly; semantics
+# are unroll-independent, and dedicated tests cover the wide configs on
+# tiny inputs.
+os.environ.setdefault("ZPIX_ONCHIP_K", "4")
+os.environ.setdefault("ZPIX_ONCHIP_K1", "6")
+os.environ.setdefault("ZPIX_ONCHIP_W", "4")
+os.environ.setdefault("ZPIX_ONCHIP_W1", "4")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

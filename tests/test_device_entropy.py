@@ -171,3 +171,15 @@ def test_huge_restart_interval():
     assert bool(ok)
     ref = np.asarray(BatchJpegDecoder().decode([data]))
     assert np.array_equal(np.asarray(img)[0], ref[0])
+
+
+def test_production_unroll_config(restart_jpeg):
+    """The wide production unrolls (k=12/k1=16, pass-1 window 8 words)
+    must decode identically to the test-default narrow unrolls — the
+    conftest dials the env defaults down for XLA:CPU compile speed, so
+    this covers the shipped config explicitly on a small image."""
+    dec = DeviceJpegDecoder(k_syms=12, k1_syms=16, win_words=4, win1_words=8)
+    img, ok = dec.decode([restart_jpeg])
+    assert bool(ok)
+    ref = np.asarray(BatchJpegDecoder().decode([restart_jpeg]))
+    assert np.array_equal(np.asarray(img)[0], ref[0])

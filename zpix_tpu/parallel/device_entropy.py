@@ -11,14 +11,16 @@ The decode is two passes, both scatter-free (see build_decode_fn): an
 index pass over segment lanes finds every 8x8 block's bit offset by
 decoding only symbol lengths, then a value pass runs one lane per BLOCK
 so each lane writes its own [64] coefficient row positionally.  Per step
-each lane issues one 16-byte window row-gather plus one LUT gather per
-decoded symbol; everything else is branch-free vector math:
+each lane issues ONE window row-gather; everything else — including the
+Huffman decode itself — is branch-free vector math with ZERO gathers
+(XLA's per-lane gather costs ~3-4 ms per 400K lanes on this TPU, ~8x a
+full compare-based decode):
 
-* Huffman decode is a single gather into a 16-bit full-lookahead LUT
-  (entry = value<<5 | code_length, 64K entries per DHT table, built on
-  host from the canonical tables — HuffTable semantics,
-  /root/reference/src/jpeg/HuffTable.zig:1-33 — and baked into the
-  compiled program as a constant);
+* Huffman decode exploits the contiguity of canonical code spaces:
+  code length by compare-sum against 15 scalar limits, symbol byte by
+  bit-plane compare-select (see CmpTables; HuffTable semantics per
+  /root/reference/src/jpeg/HuffTable.zig:1-33, baked into the compiled
+  program as scalar constants);
 * RECEIVE/EXTEND (T.81 F.2.2.1, decoder.zig:1115-1134) is branch-free;
 * DC predictors (decoder.zig:1366-1376) are restored after the value
   pass by a segmented cumsum of per-block diffs.
@@ -29,29 +31,84 @@ split (decoder.zig:712-749 semantics), stream/offset upload.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
 
+# Loop-unroll defaults (symbols per while-loop step, window words).  Each
+# while-loop step has a ~1 ms dispatch floor on the tunneled TPU, so
+# production wants fat steps; XLA:CPU compiles of the big unrolled bodies
+# are slow, so the test suite dials these down via env (tests/conftest.py).
+_DEF_K = int(os.environ.get("ZPIX_ONCHIP_K", "12"))
+_DEF_K1 = int(os.environ.get("ZPIX_ONCHIP_K1", "16"))
+_DEF_W = int(os.environ.get("ZPIX_ONCHIP_W", "4"))
+_DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", str(_DEF_W)))
+
 from ..codecs.jpeg.tables import UNZIG, HuffTable
 from ..errors import FormatError, UnsupportedError
 
-def _lut16(t: HuffTable) -> np.ndarray:
-    """Full 16-bit-lookahead decode LUT: entry = (value << 5) | code_length.
+class CmpTables:
+    """Gather-free canonical-Huffman decode constants.
 
-    Entry 0 means "invalid code" (valid entries have length >= 1).  Built
-    from the canonical min/max/valptr tables
-    (/root/reference/src/jpeg/HuffTable.zig:1-33).
+    XLA's per-lane gather on this TPU costs ~3-4 ms per 400K lanes — by
+    far the hottest primitive in the old 16-bit-LUT decode.  Canonical
+    JPEG Huffman code spaces are CONTIGUOUS in 16-bit lookahead space
+    (next length's first code = (last code + 1) << 1, see the DHT build
+    at /root/reference/src/jpeg/decoder.zig:1093-1109), so:
+
+      len(look16)  = 1 + sum_i [look16 >= lim[i]]        (15 compares)
+      invalid     <=> look16 >= lim[15]
+      symbol index = A[len] + (look16 >> (16 - len))     (A folds valptr,
+                     min_code and this table's base in the concat space)
+
+    and the symbol byte comes from bit-planes of the concatenated vals
+    array: bit b of vals[idx] = (plane[b][idx>>5] >> (idx&31)) & 1,
+    where plane words are selected by compare-sum — all branch-free
+    vector math, ZERO gathers.  Everything here is baked into the
+    compiled program as scalar constants.
     """
-    lut = np.zeros(1 << 16, np.int32)
-    for ln in range(1, 17):
-        mn, mx, vi = t.min_codes[ln - 1], t.max_codes[ln - 1], t.vals_indices[ln - 1]
-        if mx < 0:
-            continue
-        sh = 16 - ln
-        vals = np.array(t.vals[vi : vi + (mx - mn + 1)], np.int32)
-        lut[mn << sh : (mx + 1) << sh] = np.repeat((vals << 5) | ln, 1 << sh)
-    return lut
+
+    __slots__ = ("ntab", "lims", "aoff", "planes", "nwords", "total")
+
+    def __init__(self, tabs: list[HuffTable]):
+        self.ntab = len(tabs)
+        bases, total = [], 0
+        for t in tabs:
+            bases.append(total)
+            total += t.num_codes
+        self.total = total
+        self.nwords = max(1, (total + 31) // 32)
+        vals_concat = np.zeros(self.nwords * 32, np.uint8)
+        for t, b in zip(tabs, bases):
+            vals_concat[b : b + t.num_codes] = t.vals[: t.num_codes]
+        # bit-planes: plane[b][w] bit i = bit b of vals_concat[w*32+i]
+        bits = (
+            (vals_concat[None, :] >> np.arange(8)[:, None]) & 1
+        ).astype(np.uint64)
+        self.planes = tuple(
+            tuple(
+                int(np.bitwise_or.reduce(bits[b, w * 32 : (w + 1) * 32]
+                                         << np.arange(32, dtype=np.uint64)))
+                for w in range(self.nwords)
+            )
+            for b in range(8)
+        )
+        self.lims, self.aoff = [], []
+        for t, base in zip(tabs, bases):
+            lim, lims, aoffs = 0, [], []
+            a_prev = 0
+            for ln in range(1, 17):
+                mx = t.max_codes[ln - 1]
+                if mx >= 0:
+                    lim = (mx + 1) << (16 - ln)
+                    a_prev = base + t.vals_indices[ln - 1] - t.min_codes[ln - 1]
+                lims.append(lim)
+                aoffs.append(a_prev)
+            self.lims.append(tuple(lims))
+            self.aoff.append(tuple(aoffs))
+        self.lims = tuple(self.lims)
+        self.aoff = tuple(self.aoff)
 
 
 @dataclass
@@ -71,8 +128,8 @@ class ScanPlan:
     seg_mcus: int  # restart interval (MCUs per segment)
     n_segs: int  # segments per image
     quants: list  # [ncomp] np.int32[64] natural order
-    lut16: np.ndarray  # [ntab, 65536] int32 decode LUTs (trace-time const)
-    tid_dc: tuple  # component -> lut16 row for DC
+    cmp: CmpTables  # gather-free decode constants (trace-time consts)
+    tid_dc: tuple  # component -> cmp table index for DC
     tid_ac: tuple
     stream: np.ndarray  # uint8, destuffed segments back to back (+pad)
     seg_bit_pos: np.ndarray  # int32 [B*n_segs] absolute bit offsets
@@ -278,8 +335,8 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         if len(starts) != n_segs:
             raise UnsupportedError("jpeg: restart segment count mismatch")
 
-    # One decode LUT per distinct (class, table-id); comp c uses lut16 row
-    # tid_dc[c] / tid_ac[c].
+    # One decode-table slot per distinct (class, table-id); comp c uses
+    # cmp table index tid_dc[c] / tid_ac[c].
     order = []
     for c, td, ta in sel:
         if (0, td) not in order:
@@ -287,7 +344,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         if (1, ta) not in order:
             order.append((1, ta))
     tid_of = {kk: i for i, kk in enumerate(order)}
-    lut16 = np.stack([_lut16(huffs[kk]) for kk in order])
+    cmp = CmpTables([huffs[kk] for kk in order])
     sel_by_comp = {i: (td, ta) for i, (_, td, ta) in enumerate(sel)}
     tid_dc = tuple(tid_of[(0, sel_by_comp[c][0])] for c in range(nc))
     tid_ac = tuple(tid_of[(1, sel_by_comp[c][1])] for c in range(nc))
@@ -329,7 +386,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         mxx=mxx, myy=myy, bpm=bpm, comp_of_slot=tuple(comp_of_slot),
         n_mcu=n_mcu, seg_mcus=dri, n_segs=n_segs,
         quants=[quants[c[3]] for c in comps],
-        lut16=lut16, tid_dc=tid_dc, tid_ac=tid_ac,
+        cmp=cmp, tid_dc=tid_dc, tid_ac=tid_ac,
         stream=flat, seg_bit_pos=seg_bit_pos, seg_n_mcu=seg_n_mcu,
         max_seg_bits=max_seg_bits, batch=len(datas),
         cache_key=(first[0], len(datas), max_seg_bits),
@@ -354,26 +411,72 @@ def _rshift(jnp, x, n):
     return jnp.where(big, jnp.uint32(0), x >> jnp.where(big, jnp.uint32(0), n.astype(jnp.uint32)))
 
 
-def _bits_at4(jnp, w, p, n):
-    """Extract bits [p, p+n) (MSB-first) from a 128-bit window w = (w0..w3).
+def _bits_at(jnp, w, p, n):
+    """Extract bits [p, p+n) (MSB-first) from a 32*W-bit window w = (w0..wK).
 
-    p, n per-lane int32; requires p <= 96 and n <= 25.  Returns uint32
-    with the n bits right-aligned.
+    p, n per-lane int32; requires p <= 32*(W-1) and p+n <= 32*W and
+    n <= 25.  Returns uint32 with the n bits right-aligned.
     """
+    W = len(w)
     sh = (p & 31).astype(jnp.uint32)
-    pi = p >> 5  # word index 0..3
-    a = jnp.where(
-        pi == 0, w[0], jnp.where(pi == 1, w[1], jnp.where(pi == 2, w[2], w[3]))
-    )
-    b = jnp.where(
-        pi == 0, w[1], jnp.where(pi == 1, w[2], jnp.where(pi == 2, w[3], 0))
-    )
+    pi = p >> 5  # word index 0..W-1
+    a = w[W - 1]
+    b = jnp.zeros_like(w[0])
+    for i in range(W - 2, -1, -1):
+        a = jnp.where(pi == i, w[i], a)
+        b = jnp.where(pi == i, w[i + 1], b)
     word = jnp.where(sh > 0, (a << sh) | _rshift(jnp, b, 32 - (p & 31)), a)
     return _rshift(jnp, word, 32 - n)
 
 
+def _make_sym_decoder(jnp, cmp: CmpTables):
+    """Per-symbol canonical decode with zero gathers (see CmpTables).
 
-def _value_pass(jax, jnp, *, win, lut, n, starts, done0, tid_dc2, tid_ac2,
+    Returns decode(look16 int32 [L], mt: list of ntab bool [L] table
+    masks) -> (code_len [L], symbol [L], bad [L]).  All table data is
+    embedded as scalar constants; the whole thing is branch-free
+    elementwise math that XLA fuses into the surrounding loop body.
+    """
+    lims, aoff, planes, nwords = cmp.lims, cmp.aoff, cmp.planes, cmp.nwords
+
+    def decode(look, mt):
+        i32 = jnp.int32
+        ln = jnp.zeros(look.shape, i32)
+        a = jnp.zeros(look.shape, i32)
+        bad = jnp.zeros(look.shape, bool)
+        for t in range(cmp.ntab):
+            lnt = jnp.full(look.shape, 1, i32)
+            at = jnp.full(look.shape, aoff[t][0], i32)
+            for i in range(15):
+                ge = look >= i32(lims[t][i])
+                lnt = lnt + ge.astype(i32)
+                d = aoff[t][i + 1] - aoff[t][i]
+                if d:
+                    at = at + jnp.where(ge, i32(d), 0)
+            ln = jnp.where(mt[t], lnt, ln)
+            a = jnp.where(mt[t], at, a)
+            bad = bad | (mt[t] & (look >= i32(lims[t][15])))
+        sh = jnp.clip(16 - ln, 0, 16).astype(jnp.uint32)
+        vidx = a + (look.astype(jnp.uint32) >> sh).astype(i32)
+        w = vidx >> 5
+        shv = (vidx & 31).astype(jnp.uint32)
+        sym = jnp.zeros(look.shape, i32)
+        for b in range(8):
+            word = jnp.zeros(look.shape, jnp.uint32)
+            for ww in range(nwords):
+                pw = planes[b][ww]
+                if pw:
+                    word = word | jnp.where(
+                        w == ww, jnp.uint32(pw), jnp.uint32(0)
+                    )
+            sym = sym | (((word >> shv) & jnp.uint32(1)) << b).astype(i32)
+        return ln, sym, bad
+
+    return decode
+
+
+
+def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
                 k_syms):
     """Shared value pass: one lane per 8x8 block at a known bit offset.
 
@@ -385,30 +488,36 @@ def _value_pass(jax, jnp, *, win, lut, n, starts, done0, tid_dc2, tid_ac2,
     against the index pass for exact verification.
     """
     L2 = starts.shape[0]
+    W = win.shape[-1]
+    off_lim = 32 * W - 48  # look16 + extend both stay inside the window
+    decode_sym = _make_sym_decoder(jnp, cmp)
+    # per-lane table masks are fixed per phase: hoist out of the loop
+    eq_dc = [tid_dc2 == t for t in range(cmp.ntab)]
+    eq_ac = [tid_ac2 == t for t in range(cmp.ntab)]
 
     def body2(st):
         (bit_pos, cur, k, phase, done, err, steps) = st
         byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-        w4 = win[byte]
-        w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+        wW = win[byte]
+        w = tuple(wW[:, i] for i in range(W))
         off0 = (bit_pos & 7).astype(jnp.int32)
         off = off0
-        upd = jnp.zeros_like(cur)  # step's coefficient emissions
+        emits = []  # per-symbol [L] (position, value) pairs, emitted below
 
         for _ in range(k_syms):
-            active = (~done) & (off <= 80)
-            look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
-            tid = jnp.where(phase == 0, tid_dc2, tid_ac2)
-            ent = lut[tid * 65536 + look16]
-            ln_sel = ent & 31
-            sym = ent >> 5
-            bad = active & (ent == 0)
-
+            active = (~done) & (off <= off_lim)
+            look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
             is_dc = phase == 0
+            mt = [
+                jnp.where(is_dc, eq_dc[t], eq_ac[t]) for t in range(cmp.ntab)
+            ]
+            ln_sel, sym, bad = decode_sym(look16, mt)
+            bad = active & bad
+
             r = jnp.where(is_dc, 0, sym >> 4)
             size = jnp.where(is_dc, sym, sym & 15)
             ext_off = off + ln_sel
-            raw = _bits_at4(
+            raw = _bits_at(
                 jnp, w, ext_off, jnp.clip(size, 0, 16)
             ).astype(jnp.int32)
             raw = jnp.where(size > 0, raw, 0)
@@ -432,17 +541,20 @@ def _value_pass(jax, jnp, *, win, lut, n, starts, done0, tid_dc2, tid_ac2,
             blk_done = (eob | (new_k > 63)) & ~is_dc
 
             app = active & ~bad
-            upd = upd + jnp.where(
-                (app & do_emit)[:, None],
-                _onehot(jnp, emit_k, 64) * emit_v[:, None],
-                0,
-            )
+            # collect [L]-wide scalars only; the [L, 64] one-hot work
+            # happens ONCE per step below (a per-symbol one-hot emission
+            # costs a separate wide kernel each — ~50 us per symbol slot
+            # regardless of lane count, and dominated the whole decode)
+            emits.append((jnp.where(app & do_emit, emit_v, 0), emit_k))
             k = jnp.where(app, new_k, k)
             phase = jnp.where(app & is_dc, 1, phase)
             off = jnp.where(app, off + consume, off)
             err = err | bad
             done = done | (app & blk_done) | bad
-        cur = cur + upd  # one read-modify-write of cur per step
+        ar = jnp.arange(64)[None, :]
+        cur = cur + sum(
+            jnp.where(ek[:, None] == ar, ev[:, None], 0) for ev, ek in emits
+        )  # one read-modify-write of cur per step
         bit_pos = bit_pos - off0 + off
         return (bit_pos, cur, k, phase, done, err, steps + 1)
 
@@ -497,7 +609,9 @@ def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp):
 
 
 def build_decode_fn(
-    plan: ScanPlan, *, k_syms: int = 6, max_steps: int | None = None,
+    plan: ScanPlan, *, k_syms: int | None = None, max_steps: int | None = None,
+    win_words: int | None = None, k1_syms: int | None = None,
+    win1_words: int | None = None,
     _stage: int = 2, _raw: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
@@ -507,8 +621,8 @@ def build_decode_fn(
     parallel JPEG decoders, mapped onto SIMD lanes):
 
     * **Pass 1 (index pass)** — one lane per restart segment.  Decodes only
-      symbol LENGTHS (one LUT gather per symbol, no extend-bit reads, no
-      value math) to find where every 8x8 block's entropy data ends, and
+      symbol lengths + run/size (no extend-bit reads, no value emission)
+      to find where every 8x8 block's entropy data ends, and
       accumulates each completed block's end bit-position into [L1, nblk]
       with a one-hot over nblk: O(total blocks) vector work per step, no
       scatter anywhere.
@@ -526,8 +640,9 @@ def build_decode_fn(
     still happened to parse.
 
     Everything shape- or table-dependent is closed over as trace-time
-    constants (including the decode LUTs), so one compilation covers a
-    whole (geometry, tables) bucket and no tables travel per call.
+    constants (including the gather-free decode tables, see CmpTables),
+    so one compilation covers a whole (geometry, tables) bucket and no
+    tables travel per call.
     """
     import jax
     import jax.numpy as jnp
@@ -538,57 +653,65 @@ def build_decode_fn(
     comp_of_slot = plan.comp_of_slot
     tid_of_slot_dc = tuple(plan.tid_dc[c] for c in comp_of_slot)
     tid_of_slot_ac = tuple(plan.tid_ac[c] for c in comp_of_slot)
-    lut_const = plan.lut16.reshape(-1)  # [ntab * 65536]
-    k1 = max(k_syms + 2, 8)  # pass-1 symbols/step (no extend reads: cheap)
+    cmp = plan.cmp
+    k_syms = k_syms if k_syms is not None else _DEF_K
+    W = win_words if win_words is not None else _DEF_W
+    W1 = win1_words if win1_words is not None else _DEF_W1
+    off_lim = 32 * W - 48  # look16 + extend both stay inside the window
+    off_lim1 = 32 * W1 - 48
+    k1 = k1_syms if k1_syms is not None else _DEF_K1
     if max_steps is None:
-        # every pass-1 step consumes >= k1 symbols of >= 2 bits each (or
-        # finishes the lane), so the longest segment bounds the loop
-        max_steps = plan.max_seg_bits // (2 * k1) + 64
+        # every pass-1 step consumes >= min(k1 symbols of >= 2 bits,
+        # the window capacity) or finishes the lane, so the longest
+        # segment bounds the loop
+        per_step = max(2, min(2 * k1, off_lim1 - 38))
+        max_steps = plan.max_seg_bits // per_step + 64
 
     def decode(stream, seg_bit_pos, seg_n_mcu):
         L1 = seg_bit_pos.shape[0]
         L2 = L1 * nblk
         u32 = jnp.uint32
-        # 16-byte windows at every byte offset: [N, 4] uint32 big-endian.
+        # 4*W-byte windows at every byte offset: [N, W] uint32 big-endian.
         # A wide window amortizes the per-step gather + state costs over
-        # ~2x more symbols (>= 73 bits of guaranteed progress per step).
+        # more symbols (row-gather cost grows only mildly with width);
+        # pass 1 wants the widest window (its step count is bounded by
+        # window bits, and each while-loop step has a ~1 ms floor on this
+        # backend), pass 2 a narrow one (its blocks finish in a few steps).
         s = stream.astype(u32)
-        n = stream.shape[0] - 16
-        b = [s[i : n + i] for i in range(16)]
-        win = jnp.stack(
-            [
-                (b[4 * j] << 24) | (b[4 * j + 1] << 16) | (b[4 * j + 2] << 8) | b[4 * j + 3]
-                for j in range(4)
-            ],
-            axis=-1,
-        )
-        lut = jnp.asarray(lut_const)
+        wmax = max(W, W1)
+        n = stream.shape[0] - 4 * wmax
+        b = [s[i : n + i] for i in range(4 * wmax)]
+        words = [
+            (b[4 * j] << 24) | (b[4 * j + 1] << 16) | (b[4 * j + 2] << 8) | b[4 * j + 3]
+            for j in range(wmax)
+        ]
+        win = jnp.stack(words[:W], axis=-1)
+        win1 = win if W1 == W else jnp.stack(words[:W1], axis=-1)
+        decode_sym = _make_sym_decoder(jnp, cmp)
 
         # ---------------- pass 1: block end bit-positions per segment
         def body1(st):
             (bit_pos, offs, slot, mcu_cnt, k, phase, done, err, steps) = st
             byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-            w4 = win[byte]
-            w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+            wW = win1[byte]
+            w = tuple(wW[:, i] for i in range(W1))
             off0 = (bit_pos & 7).astype(jnp.int32)
             off = off0
             base = (byte << 3).astype(jnp.int32)  # window start, absolute bits
-            upd = jnp.zeros_like(offs)  # step's block-end emissions
+            emits = []  # per-symbol [L1] (block index, end) pairs
 
             for _ in range(k1):
-                active = (~done) & (off <= 80)
-                look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                active = (~done) & (off <= off_lim1)
+                look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                is_dc = phase == 0
                 tid = jnp.where(
-                    phase == 0,
+                    is_dc,
                     _select_by_index(jnp, slot, tid_of_slot_dc),
                     _select_by_index(jnp, slot, tid_of_slot_ac),
                 )
-                ent = lut[tid * 65536 + look16]
-                ln_sel = ent & 31
-                sym = ent >> 5
-                bad = active & (ent == 0)
-
-                is_dc = phase == 0
+                mt = [tid == t for t in range(cmp.ntab)]
+                ln_sel, sym, bad = decode_sym(look16, mt)
+                bad = active & bad
                 r = jnp.where(is_dc, 0, sym >> 4)
                 size = jnp.where(is_dc, sym, sym & 15)
                 consume = ln_sel + size  # extend bits are skipped, not read
@@ -603,12 +726,12 @@ def build_decode_fn(
 
                 app = active & ~bad
                 adv_blk = app & blk_done
-                # record block end (one-hot over nblk: O(total blocks)/step)
+                # record block end; [L1]-wide scalars only here — the
+                # [L1, nblk] one-hot materializes ONCE per step below
+                # (a per-symbol one-hot costs a separate wide kernel)
                 blk_idx = jnp.clip(mcu_cnt * bpm + slot, 0, nblk - 1)
                 end_abs = base + off + consume
-                upd = upd + _onehot(jnp, blk_idx, nblk) * jnp.where(
-                    adv_blk, end_abs, 0
-                )[:, None]
+                emits.append((blk_idx, jnp.where(adv_blk, end_abs, 0)))
                 slot = jnp.where(adv_blk, slot + 1, slot)
                 wrap = adv_blk & (slot >= bpm)
                 slot = jnp.where(wrap, 0, slot)
@@ -618,7 +741,11 @@ def build_decode_fn(
                 off = jnp.where(app, off + consume, off)
                 err = err | bad
                 done = done | (mcu_cnt >= seg_n_mcu) | bad
-            offs = offs + upd  # one read-modify-write of offs per step
+            arb = jnp.arange(nblk)[None, :]
+            offs = offs + sum(
+                jnp.where(bi[:, None] == arb, ev[:, None], 0)
+                for bi, ev in emits
+            )  # one read-modify-write of offs per step
             bit_pos = bit_pos - off0 + off
             return (bit_pos, offs, slot, mcu_cnt, k, phase, done, err, steps + 1)
 
@@ -661,7 +788,7 @@ def build_decode_fn(
         tid_ac2 = _select_by_index(jnp, slot2, tid_of_slot_ac)
 
         st2 = _value_pass(
-            jax, jnp, win=win, lut=lut, n=n, starts=starts,
+            jax, jnp, win=win, cmp=cmp, n=n, starts=starts,
             done0=~valid, tid_dc2=tid_dc2, tid_ac2=tid_ac2, k_syms=k_syms,
         )
         cur = st2[1]
@@ -689,10 +816,6 @@ def build_decode_fn(
     return jax.jit(decode)
 
 
-def _onehot(jnp, idx, n):
-    return (idx[:, None] == jnp.arange(n)[None, :]).astype(jnp.int32)
-
-
 # ------------------------------------------------------------- assembly
 
 
@@ -710,9 +833,14 @@ class DeviceJpegDecoder:
     branchless YCbCr clamp semantics as color.zig:95-113).
     """
 
-    def __init__(self, *, k_syms: int = 6, max_steps: int = 16384, mesh=None):
+    def __init__(self, *, k_syms: int | None = None, max_steps: int = 16384,
+                 mesh=None, win_words: int | None = None,
+                 k1_syms: int | None = None, win1_words: int | None = None):
         self.k_syms = k_syms
         self.max_steps = max_steps
+        self.win_words = win_words
+        self.k1_syms = k1_syms
+        self.win1_words = win1_words
         self.mesh = mesh  # jax.sharding.Mesh with a "batch" axis, or None
         self._decode_fns: dict = {}
         self._backend_fns: dict = {}
@@ -752,7 +880,9 @@ class DeviceJpegDecoder:
         key = (plan.cache_key, int(plan.stream.shape[0]), self.mesh is not None)
         fn = self._decode_fns.get(key)
         if fn is None:
-            fn = build_decode_fn(plan, k_syms=self.k_syms, max_steps=self.max_steps)
+            fn = build_decode_fn(plan, k_syms=self.k_syms, max_steps=self.max_steps,
+                                 win_words=self.win_words, k1_syms=self.k1_syms,
+                                 win1_words=self.win1_words)
             self._decode_fns[key] = fn
         return fn(*self._put(plan))
 
@@ -801,7 +931,9 @@ class DeviceJpegDecoder:
             from .batch import _gray_graph, _ycbcr_graph
 
             body = build_decode_fn(
-                plan, k_syms=self.k_syms, max_steps=self.max_steps, _raw=True
+                plan, k_syms=self.k_syms, max_steps=self.max_steps,
+                win_words=self.win_words, k1_syms=self.k1_syms,
+                win1_words=self.win1_words, _raw=True
             )
             quants = [
                 np.stack([plan.quants[c]] * plan.batch)

@@ -42,10 +42,10 @@ import numpy as np
 
 from ..errors import UnsupportedError
 from .device_entropy import (
-    _bits_at4,
+    CmpTables,
+    _bits_at,
     _destuff,
-    _lut16,
-    _onehot,
+    _make_sym_decoder,
     _parse_headers,
     _restore_dc_and_reorder,
     _select_by_index,
@@ -68,7 +68,7 @@ class SyncPlan:
     comp_of_slot: tuple
     n_mcu: int
     quants: list
-    lut16: np.ndarray
+    cmp: CmpTables
     tid_dc: tuple
     tid_ac: tuple
     stream: np.ndarray  # destuffed scans back to back (+pad)
@@ -122,7 +122,7 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
         if (1, ta) not in order:
             order.append((1, ta))
     tid_of = {kk: i for i, kk in enumerate(order)}
-    lut16 = np.stack([_lut16(huffs[kk]) for kk in order])
+    cmp = CmpTables([huffs[kk] for kk in order])
     sel_by_comp = {i: (td, ta) for i, (_, td, ta) in enumerate(sel)}
     tid_dc = tuple(tid_of[(0, sel_by_comp[c][0])] for c in range(nc))
     tid_ac = tuple(tid_of[(1, sel_by_comp[c][1])] for c in range(nc))
@@ -152,7 +152,7 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
         hv=tuple((c[1], c[2]) for c in comps), ratio=ratio,
         mxx=mxx, myy=myy, bpm=bpm, comp_of_slot=tuple(comp_of_slot),
         n_mcu=mxx * myy, quants=[quants[c[3]] for c in comps],
-        lut16=lut16, tid_dc=tid_dc, tid_ac=tid_ac,
+        cmp=cmp, tid_dc=tid_dc, tid_ac=tid_ac,
         stream=flat, img_bit_start=img_bit_start, img_bit_end=img_bit_end,
         chunk_bytes=chunk_bytes, n_chunks=n_chunks,
         # worst-case block = DC code + EOB code = 2 bits, so a chunk of
@@ -163,7 +163,8 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
 
 
 def build_sync_decode_fn(
-    plan: SyncPlan, *, k_syms: int = 6, max_rounds: int | None = None,
+    plan: SyncPlan, *, k_syms: int | None = None, max_rounds: int | None = None,
+    win_words: int | None = None, k1_syms: int | None = None,
     _raw: bool = False,
 ):
     """Returns a jitted fn: (stream, img_bit_start, img_bit_end) ->
@@ -182,26 +183,32 @@ def build_sync_decode_fn(
     comp_of_slot = plan.comp_of_slot
     tid_of_slot_dc = tuple(plan.tid_dc[c] for c in comp_of_slot)
     tid_of_slot_ac = tuple(plan.tid_ac[c] for c in comp_of_slot)
-    lut_const = plan.lut16.reshape(-1)
+    from .device_entropy import _DEF_K, _DEF_K1, _DEF_W
+
+    cmp = plan.cmp
+    k_syms = k_syms if k_syms is not None else _DEF_K
+    W = win_words if win_words is not None else _DEF_W
+    off_lim = 32 * W - 48
     rounds_cap = max_rounds if max_rounds is not None else F + 2
-    k1 = max(k_syms + 2, 8)
+    k1 = k1_syms if k1_syms is not None else _DEF_K1
     # a chunk spans < C_BITS + 27 overhang bits; every inner step consumes
-    # >= 1 symbol >= 2 bits, and >= 73 bits when the window stays full
+    # >= 1 symbol >= 2 bits, and >= min(2*k1, window capacity) bits when
+    # the window stays full
     inner_cap = C_BITS // 8 + 64
 
     def decode(stream, img_bit_start, img_bit_end):
         u32 = jnp.uint32
         s = stream.astype(u32)
-        n = stream.shape[0] - 16
-        b = [s[i : n + i] for i in range(16)]
+        n = stream.shape[0] - 4 * W
+        b = [s[i : n + i] for i in range(4 * W)]
         win = jnp.stack(
             [
                 (b[4 * j] << 24) | (b[4 * j + 1] << 16) | (b[4 * j + 2] << 8) | b[4 * j + 3]
-                for j in range(4)
+                for j in range(W)
             ],
             axis=-1,
         )
-        lut = jnp.asarray(lut_const)
+        decode_sym = _make_sym_decoder(jnp, cmp)
 
         img_start = img_bit_start.astype(jnp.int32)  # [B]
         img_end = img_bit_end.astype(jnp.int32)  # [B]
@@ -220,27 +227,25 @@ def build_sync_decode_fn(
             def body(st):
                 (bit_pos, slot, k, phase, done, err_bit, ends, cnt, steps) = st
                 byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-                w4 = win[byte]
-                w = (w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3])
+                wW = win[byte]
+                w = tuple(wW[:, i] for i in range(W))
                 off0 = (bit_pos & 7).astype(jnp.int32)
                 off = off0
                 base = (byte << 3).astype(jnp.int32)
-                upd = jnp.zeros_like(ends) if record else ends
+                emits = []  # per-symbol [L] (slot index, end) pairs
 
                 for _ in range(k1):
-                    active = (~done) & (off <= 80)
-                    look16 = _bits_at4(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                    active = (~done) & (off <= off_lim)
+                    look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                    is_dc = phase == 0
                     tid = jnp.where(
-                        phase == 0,
+                        is_dc,
                         _select_by_index(jnp, slot, tid_of_slot_dc),
                         _select_by_index(jnp, slot, tid_of_slot_ac),
                     )
-                    ent = lut[tid * 65536 + look16]
-                    ln_sel = ent & 31
-                    sym = ent >> 5
-                    bad = active & (ent == 0)
-
-                    is_dc = phase == 0
+                    mt = [tid == t for t in range(cmp.ntab)]
+                    ln_sel, sym, bad = decode_sym(look16, mt)
+                    bad = active & bad
                     r = jnp.where(is_dc, 0, sym >> 4)
                     size = jnp.where(is_dc, sym, sym & 15)
                     consume = ln_sel + size
@@ -258,9 +263,12 @@ def build_sync_decode_fn(
                     end_abs = base + off + consume
                     if record:
                         over = cnt >= mb
-                        upd = upd + _onehot(
-                            jnp, jnp.clip(cnt, 0, mb - 1), mb
-                        ) * jnp.where(adv_blk & ~over, end_abs, 0)[:, None]
+                        # [L]-wide scalars only; the [L, mb] one-hot
+                        # materializes once per step below
+                        emits.append((
+                            jnp.clip(cnt, 0, mb - 1),
+                            jnp.where(adv_blk & ~over, end_abs, 0),
+                        ))
                         err_bit = jnp.where(
                             adv_blk & over,
                             jnp.minimum(err_bit, base + off),
@@ -281,7 +289,11 @@ def build_sync_decode_fn(
                     # stop at the first symbol boundary past the chunk end
                     done = done | (base + off >= chunk_end) | bad
                 if record:
-                    ends = ends + upd
+                    arb = jnp.arange(mb)[None, :]
+                    ends = ends + sum(
+                        jnp.where(ci[:, None] == arb, ev[:, None], 0)
+                        for ci, ev in emits
+                    )
                 bit_pos = bit_pos - off0 + off
                 return (bit_pos, slot, k, phase, done, err_bit, ends, cnt, steps + 1)
 
@@ -394,7 +406,7 @@ def build_sync_decode_fn(
         tid_ac2 = _select_by_index(jnp, slot2, tid_of_slot_ac)
 
         st2 = _value_pass(
-            jax, jnp, win=win, lut=lut, n=n, starts=starts,
+            jax, jnp, win=win, cmp=cmp, n=n, starts=starts,
             done0=jnp.zeros(L2, bool), tid_dc2=tid_dc2, tid_ac2=tid_ac2,
             k_syms=k_syms,
         )
@@ -429,9 +441,12 @@ class SyncJpegDecoder:
     markers (cheaper — no sync rounds needed).
     """
 
-    def __init__(self, *, chunk_bytes: int = 32, k_syms: int = 6):
+    def __init__(self, *, chunk_bytes: int = 32, k_syms: int | None = None,
+                 win_words: int | None = None, k1_syms: int | None = None):
         self.chunk_bytes = chunk_bytes
         self.k_syms = k_syms
+        self.win_words = win_words
+        self.k1_syms = k1_syms
         self._fns: dict = {}
 
     def decode_coefficients(self, plan: SyncPlan):
@@ -440,7 +455,9 @@ class SyncJpegDecoder:
         key = (plan.cache_key, int(plan.stream.shape[0]))
         fn = self._fns.get(key)
         if fn is None:
-            fn = build_sync_decode_fn(plan, k_syms=self.k_syms)
+            fn = build_sync_decode_fn(plan, k_syms=self.k_syms,
+                                      win_words=self.win_words,
+                                      k1_syms=self.k1_syms)
             self._fns[key] = fn
         return fn(
             jax.device_put(plan.stream),
@@ -463,7 +480,9 @@ class SyncJpegDecoder:
         if fn is None:
             from .batch import _gray_graph, _ycbcr_graph
 
-            body = build_sync_decode_fn(plan, k_syms=self.k_syms, _raw=True)
+            body = build_sync_decode_fn(plan, k_syms=self.k_syms,
+                                        win_words=self.win_words,
+                                        k1_syms=self.k1_syms, _raw=True)
             quants = [
                 np.stack([plan.quants[c]] * plan.batch)
                 for c in range(plan.ncomp)
