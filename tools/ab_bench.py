@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Interleaved in-process A/B benchmark for on-chip decode variants.
+
+Separate bench processes on the tunneled chip drift by +-20%, which
+swamps most real effects.  This harness times all variants inside ONE
+process, alternating per trial (order flipped each trial), so every
+variant faces the same drift; it reports best and median per variant.
+
+Honest-timing rules (CLAUDE.md axon gotchas): fresh image content per
+(trial, step) — variants may share content because they are different
+compiled programs, but no (program, inputs) pair repeats — and one
+content-dependent digest scalar fetched per timed loop.
+
+Env: AB_VARIANTS (comma list, see VARIANTS), AB_TRIALS (5), AB_STEPS
+(12), BENCH_BATCH/SIZE/DRI as in bench.py.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import faulthandler
+
+faulthandler.dump_traceback_later(
+    int(os.environ.get("AB_WATCHDOG_S", "5400")), exit=True
+)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zpix_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+from bench import make_digest, make_pools  # noqa: E402
+
+VARIANTS = {
+    # upload forms
+    "packed": dict(packed=True),
+    "3arg": dict(packed=False),
+    # uploads hoisted out of the timed loop: isolates compute+dispatch
+    "noup": dict(packed=True, _prefetch=True),
+    # pass-2 window/unroll (prefetched: upload chaos swamps kernel deltas)
+    "k16w6": dict(packed=True, k_syms=16, win_words=6, _prefetch=True),
+    "k16w5": dict(packed=True, k_syms=16, win_words=5, _prefetch=True),
+    "k8w4": dict(packed=True, k_syms=8, _prefetch=True),
+    # pass-1 window/unroll
+    "p1k24w8": dict(packed=True, k1_syms=24, win1_words=8, _prefetch=True),
+    "p1k20w6": dict(packed=True, k1_syms=20, win1_words=6, _prefetch=True),
+    "p1k32w10": dict(packed=True, k1_syms=32, win1_words=10, _prefetch=True),
+    # restart-interval granularity (shorter segments = fewer pass-1 steps)
+    "dri2": dict(packed=True, _prefetch=True, _dri=2),
+    "dri8": dict(packed=True, _prefetch=True, _dri=8),
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from zpix_tpu.parallel.device_entropy import DeviceJpegDecoder, prep_batch
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    steps = int(os.environ.get("AB_STEPS", "12"))
+    trials = int(os.environ.get("AB_TRIALS", "5"))
+    dri = int(os.environ.get("BENCH_DRI", "4"))
+    names = os.environ.get("AB_VARIANTS", "packed,3arg").split(",")
+    mpix = batch * size * size / 1e6
+
+    dris = sorted(
+        {VARIANTS[n].get("_dri", dri) for n in names}
+    )
+    t0 = time.perf_counter()
+    plans_by_dri = {}
+    for d in dris:
+        pools = make_pools(trials * steps, batch, size, dri_blocks=d)
+        plans_by_dri[d] = [prep_batch(p) for p in pools]
+    print(
+        f"gen+prep {len(dris)}x{trials * steps}x{batch} images: "
+        f"{time.perf_counter() - t0:.0f}s"
+    )
+
+    digest = make_digest()
+    setups = {}
+    for name in names:
+        cfg = dict(VARIANTS[name])
+        prefetch = cfg.pop("_prefetch", False)
+        plans = plans_by_dri[cfg.pop("_dri", dri)]
+        dec = DeviceJpegDecoder(**cfg)
+        fused = dec._fused(plans[0])
+
+        def make_step(fused):
+            @jax.jit
+            def step(acc, *bufs):
+                out, ok = fused(*bufs)
+                return digest(acc, out), ok, out
+
+            return step
+
+        step = make_step(fused)
+        tC = time.perf_counter()
+        acc, ok, _ = step(jnp.uint32(0), *dec._put(plans[0]))
+        _ = int(acc)
+        assert bool(ok), f"{name}: integrity check failed"
+        print(f"{name}: compile+first {time.perf_counter() - tC:.0f}s")
+        setups[name] = (dec, step, prefetch, plans)
+
+    results = {n: [] for n in names}
+    for t in range(trials):
+        order = names if t % 2 == 0 else names[::-1]
+        for name in order:
+            dec, step, prefetch, plans = setups[name]
+            bufs_list = None
+            if prefetch:
+                bufs_list = [
+                    dec._put(plans[t * steps + i]) for i in range(steps)
+                ]
+                jax.block_until_ready(bufs_list)
+            t1 = time.perf_counter()
+            acc = jnp.uint32(t + 1)
+            for i in range(steps):
+                bufs = (
+                    bufs_list[i] if prefetch
+                    else dec._put(plans[t * steps + i])
+                )
+                acc, ok, _ = step(acc, *bufs)
+            _ = int(acc)
+            dt = (time.perf_counter() - t1) / steps
+            results[name].append(dt)
+            print(f"trial {t} {name}: {dt * 1e3:.1f} ms/step")
+
+    print("---- summary")
+    for name in names:
+        ts = sorted(results[name])
+        best, med = ts[0], ts[len(ts) // 2]
+        print(
+            json.dumps(
+                {
+                    "variant": name,
+                    "best_ms": round(best * 1e3, 1),
+                    "best_mpix_s": round(mpix / best, 1),
+                    "median_ms": round(med * 1e3, 1),
+                    "median_mpix_s": round(mpix / med, 1),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

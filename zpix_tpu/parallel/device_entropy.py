@@ -40,10 +40,12 @@ import numpy as np
 # while-loop step has a ~1 ms dispatch floor on the tunneled TPU, so
 # production wants fat steps; XLA:CPU compiles of the big unrolled bodies
 # are slow, so the test suite dials these down via env (tests/conftest.py).
+# K1=24/W1=8 measured best on real TPU (tools/ab_bench.py, 2026-08-18:
+# 22.2 ms/batch median vs 22.9 for K1=16/W1=4; pass-2 variants flat).
 _DEF_K = int(os.environ.get("ZPIX_ONCHIP_K", "12"))
-_DEF_K1 = int(os.environ.get("ZPIX_ONCHIP_K1", "16"))
+_DEF_K1 = int(os.environ.get("ZPIX_ONCHIP_K1", "24"))
 _DEF_W = int(os.environ.get("ZPIX_ONCHIP_W", "4"))
-_DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", str(_DEF_W)))
+_DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", "8"))
 
 from ..codecs.jpeg.tables import UNZIG, HuffTable
 from ..errors import FormatError, UnsupportedError
@@ -137,6 +139,7 @@ class ScanPlan:
     max_seg_bits: int  # longest restart segment (bounds pass-1 steps)
     batch: int
     cache_key: tuple = None  # (geometry, tables, dri) bucket for jit reuse
+    packed: np.ndarray = None  # stream ++ seg_bit_pos(LE int32): 1 upload
 
 
 def _parse_headers(data: bytes):
@@ -380,6 +383,13 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         vr = comps[0][2] // comps[1][2]
         ratio = {0x11: "444", 0x12: "440", 0x21: "422",
                  0x22: "420", 0x41: "411", 0x42: "410"}[(hr << 4) | vr]
+    # One-upload form: the tunneled link charges a round trip per
+    # device_put, so the offsets ride in the same buffer as the stream
+    # (seg_n_mcu is a pure function of the geometry and is baked into
+    # the compiled program instead of travelling at all).
+    packed = np.concatenate(
+        [flat, seg_bit_pos.astype("<i4").view(np.uint8)]
+    )
     return ScanPlan(
         width=w, height=h, ncomp=nc,
         hv=tuple((c[1], c[2]) for c in comps), ratio=ratio,
@@ -390,6 +400,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         stream=flat, seg_bit_pos=seg_bit_pos, seg_n_mcu=seg_n_mcu,
         max_seg_bits=max_seg_bits, batch=len(datas),
         cache_key=(first[0], len(datas), max_seg_bits),
+        packed=packed,
     )
 
 
@@ -611,7 +622,7 @@ def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp):
 def build_decode_fn(
     plan: ScanPlan, *, k_syms: int | None = None, max_steps: int | None = None,
     win_words: int | None = None, k1_syms: int | None = None,
-    win1_words: int | None = None,
+    win1_words: int | None = None, packed: bool = False,
     _stage: int = 2, _raw: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
@@ -811,6 +822,29 @@ def build_decode_fn(
         )
         return coeffs, ok
 
+    if packed:
+        # Single-buffer form: [stream bytes | seg_bit_pos LE int32];
+        # seg_n_mcu is a geometry constant baked into the program.
+        cap = int(plan.stream.shape[0])
+        L = int(plan.batch * plan.n_segs)
+        nm_const = np.full(plan.n_segs, plan.seg_mcus, np.int32)
+        nm_const[-1] = plan.n_mcu - plan.seg_mcus * (plan.n_segs - 1)
+        nm_const = np.tile(nm_const, plan.batch)
+
+        def decode_packed(buf):
+            import jax.numpy as jnp
+
+            stream = buf[:cap]
+            pb = buf[cap : cap + 4 * L].reshape(L, 4).astype(jnp.int32)
+            seg_bit_pos = (
+                pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) | (pb[:, 3] << 24)
+            )
+            return decode(stream, seg_bit_pos, jnp.asarray(nm_const))
+
+        if _raw:
+            return decode_packed
+        return jax.jit(decode_packed)
+
     if _raw:
         return decode
     return jax.jit(decode)
@@ -835,13 +869,19 @@ class DeviceJpegDecoder:
 
     def __init__(self, *, k_syms: int | None = None, max_steps: int = 16384,
                  mesh=None, win_words: int | None = None,
-                 k1_syms: int | None = None, win1_words: int | None = None):
+                 k1_syms: int | None = None, win1_words: int | None = None,
+                 packed: bool | None = None):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self.win_words = win_words
         self.k1_syms = k1_syms
         self.win1_words = win1_words
         self.mesh = mesh  # jax.sharding.Mesh with a "batch" axis, or None
+        # one-buffer upload (stream ++ offsets); only the unsharded path
+        # supports it — the mesh path shards the offset arrays over lanes
+        self.packed = (mesh is None) if packed is None else packed
+        if self.packed and mesh is not None:
+            raise ValueError("packed upload is single-device only")
         self._decode_fns: dict = {}
         self._backend_fns: dict = {}
 
@@ -853,6 +893,9 @@ class DeviceJpegDecoder:
         import jax
 
         if self.mesh is None:
+            if self.packed:
+                # one upload: the tunnel charges a round trip per put
+                return (jax.device_put(plan.packed),)
             return (
                 jax.device_put(plan.stream),
                 jax.device_put(plan.seg_bit_pos),
@@ -877,12 +920,14 @@ class DeviceJpegDecoder:
 
     def decode_coefficients(self, plan: ScanPlan):
         """Run the entropy kernel: -> (coeffs [L, nblk, 64] int16, ok)."""
-        key = (plan.cache_key, int(plan.stream.shape[0]), self.mesh is not None)
+        key = (plan.cache_key, int(plan.stream.shape[0]), self.mesh is not None,
+               self.packed)
         fn = self._decode_fns.get(key)
         if fn is None:
             fn = build_decode_fn(plan, k_syms=self.k_syms, max_steps=self.max_steps,
                                  win_words=self.win_words, k1_syms=self.k1_syms,
-                                 win1_words=self.win1_words)
+                                 win1_words=self.win1_words,
+                                 packed=self.packed)
             self._decode_fns[key] = fn
         return fn(*self._put(plan))
 
@@ -925,7 +970,7 @@ class DeviceJpegDecoder:
         import jax.numpy as jnp
 
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
-               self.mesh is not None)
+               self.mesh is not None, self.packed)
         fn = self._decode_fns.get(key)
         if fn is None:
             from .batch import _gray_graph, _ycbcr_graph
@@ -933,15 +978,16 @@ class DeviceJpegDecoder:
             body = build_decode_fn(
                 plan, k_syms=self.k_syms, max_steps=self.max_steps,
                 win_words=self.win_words, k1_syms=self.k1_syms,
-                win1_words=self.win1_words, _raw=True
+                win1_words=self.win1_words, packed=self.packed,
+                _raw=True,
             )
             quants = [
                 np.stack([plan.quants[c]] * plan.batch)
                 for c in range(plan.ncomp)
             ]
 
-            def fused(stream, seg_bit_pos, seg_n_mcu):
-                coeffs, ok = body(stream, seg_bit_pos, seg_n_mcu)
+            def fused(*args):
+                coeffs, ok = body(*args)
                 g = coefficients_to_grids(plan, coeffs)
                 if plan.ncomp == 1:
                     rgb = _gray_graph(
