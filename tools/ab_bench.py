@@ -50,6 +50,8 @@ VARIANTS = {
     # restart-interval granularity (shorter segments = fewer pass-1 steps)
     "dri2": dict(packed=True, _prefetch=True, _dri=2),
     "dri8": dict(packed=True, _prefetch=True, _dri=8),
+    # one-IDCT + uint8-relayout back-end (measured slower; kept A/B-able)
+    "mergedbk": dict(packed=True, _prefetch=True, merged_backend=True),
 }
 
 

@@ -492,11 +492,14 @@ def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
     """Shared value pass: one lane per 8x8 block at a known bit offset.
 
     Decodes DC diff + AC run-length coefficients into a per-lane [64]
-    zigzag row (one-hot emissions, one carry read-modify-write per step;
-    RECEIVE/EXTEND per T.81 F.2.2.1, decoder.zig:1115-1134).  Returns the
-    final while_loop state (bit_pos, cur, k, phase, done, err, steps) —
-    bit_pos lands on each block's end boundary, which callers check
-    against the index pass for exact verification.
+    row in NATURAL order (one-hot emissions compared against the
+    zigzag-of-natural permutation constant, so the inverse-zigzag
+    reorder of decoder.zig:73-82 costs nothing; one carry
+    read-modify-write per step; RECEIVE/EXTEND per T.81 F.2.2.1,
+    decoder.zig:1115-1134).  Returns the final while_loop state
+    (bit_pos, cur, k, phase, done, err, steps) — bit_pos lands on each
+    block's end boundary, which callers check against the index pass
+    for exact verification.
     """
     L2 = starts.shape[0]
     W = win.shape[-1]
@@ -562,7 +565,12 @@ def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
             off = jnp.where(app, off + consume, off)
             err = err | bad
             done = done | (app & blk_done) | bad
-        ar = jnp.arange(64)[None, :]
+        # emission position k is a ZIGZAG index; comparing against the
+        # zigzag-index-of-natural-position constant writes natural order
+        # directly (same op count as comparing against arange)
+        inv = np.zeros(64, np.int64)
+        inv[UNZIG] = np.arange(64)
+        ar = jnp.asarray(inv)[None, :]
         cur = cur + sum(
             jnp.where(ek[:, None] == ar, ev[:, None], 0) for ev, ek in emits
         )  # one read-modify-write of cur per step
@@ -589,16 +597,20 @@ def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
     )
 
 
-def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp):
-    """DC-predictor restore + zigzag->natural reorder.
+def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp,
+                            dtype=None):
+    """DC-predictor restore over natural-order rows.
 
-    cur: [groups * n_mcu_grp * bpm, 64] zigzag rows whose position 0 is
-    the raw DC DIFF.  A group is one predictor chain (a restart segment,
-    or a whole restart-free image).  Per component, adds the EXCLUSIVE
+    cur: [groups * n_mcu_grp * bpm, 64] NATURAL-order rows (the value
+    pass emits through the zigzag permutation) whose position 0 is the
+    raw DC DIFF.  A group is one predictor chain (a restart segment, or
+    a whole restart-free image).  Per component, adds the EXCLUSIVE
     prefix sum of preceding diffs at position 0 as a broadcast add (a
-    minor-axis slice/concat wedges the tunneled backend), then applies
-    the static zigzag inverse.  Returns [groups, n_mcu_grp * bpm, 64]
-    int16 natural-order coefficients (decoder.zig:1366-1376, :73-82).
+    minor-axis slice/concat wedges the tunneled backend).  Returns
+    [groups, n_mcu_grp * bpm, 64] coefficients
+    (decoder.zig:1366-1376, :73-82), int16 by default (the transfer
+    format); fused consumers pass dtype=int32 to skip the narrowing
+    round trip.
     """
     coeff = cur.reshape(groups, n_mcu_grp, bpm, 64)
     dc = coeff[..., 0]  # [G, M, bpm] raw diffs
@@ -614,16 +626,14 @@ def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp):
     one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
     coeff = coeff + corr[..., None] * one0
     out = coeff.reshape(groups, n_mcu_grp * bpm, 64)
-    inv = np.zeros(64, np.int64)
-    inv[UNZIG] = np.arange(64)
-    return jnp.take(out, jnp.asarray(inv), axis=-1).astype(jnp.int16)
+    return out.astype(dtype if dtype is not None else jnp.int16)
 
 
 def build_decode_fn(
     plan: ScanPlan, *, k_syms: int | None = None, max_steps: int | None = None,
     win_words: int | None = None, k1_syms: int | None = None,
     win1_words: int | None = None, packed: bool = False,
-    _stage: int = 2, _raw: bool = False,
+    coeff_dtype=None, _stage: int = 2, _raw: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -818,7 +828,7 @@ def build_decode_fn(
 
         coeffs = _restore_dc_and_reorder(
             jnp, cur, groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
-            hv=plan.hv, ncomp=plan.ncomp,
+            hv=plan.hv, ncomp=plan.ncomp, dtype=coeff_dtype,
         )
         return coeffs, ok
 
@@ -850,6 +860,53 @@ def build_decode_fn(
     return jax.jit(decode)
 
 
+def _merged_backend(plan: ScanPlan, coeffs):
+    """Dequant + ONE IDCT over every block of every component + uint8
+    plane assembly + chroma upsample + exact YCbCr->RGB.
+
+    Compared with coefficients_to_grids + per-component graphs, the
+    MCU-order -> raster relayout happens once on uint8 PIXELS (4x fewer
+    bytes than int32 coefficients) and all components ride one IDCT
+    kernel (the per-slot quant table is a baked [bpm, 64] constant).
+    Level shift + clamp per decoder.zig:1611-1633; color math is the
+    exact integer conversion (color.zig:95-113).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.idct import _col_pass, _row_pass
+    from ..ops.ycbcr import upsample_chroma_jnp, ycbcr_to_rgb8_jnp
+
+    B, mxx, myy, bpm = plan.batch, plan.mxx, plan.myy, plan.bpm
+    x = coeffs.reshape(B, plan.n_segs * plan.seg_mcus, bpm, 64)
+    x = x[:, : plan.n_mcu].astype(jnp.int32)
+    q_slot = np.stack([plan.quants[c] for c in plan.comp_of_slot])
+    deq = x * jnp.asarray(q_slot)[None, None]
+    blocks = deq.reshape(B, plan.n_mcu, bpm, 8, 8)
+    out = _col_pass(_row_pass(blocks, jnp), jnp)
+    pix = jnp.clip(out + jnp.int32(128), 0, 255).astype(jnp.uint8)
+    planes = []
+    s0 = 0
+    for c in range(plan.ncomp):
+        hc, vc = plan.hv[c]
+        nb = hc * vc
+        xc = pix[:, :, s0 : s0 + nb].reshape(B, myy, mxx, vc, hc, 8, 8)
+        planes.append(
+            jnp.transpose(xc, (0, 1, 3, 5, 2, 4, 6)).reshape(
+                B, myy * vc * 8, mxx * hc * 8
+            )
+        )
+        s0 += nb
+    y = planes[0][:, : plan.height, : plan.width]
+    if plan.ncomp == 1:
+        return y
+    hf = plan.hv[0][0] // plan.hv[1][0]
+    vf = plan.hv[0][1] // plan.hv[1][1]
+    cb = upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width)
+    cr = upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width)
+    r, g, b = ycbcr_to_rgb8_jnp(y, cb, cr)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 # ------------------------------------------------------------- assembly
 
 
@@ -870,7 +927,7 @@ class DeviceJpegDecoder:
     def __init__(self, *, k_syms: int | None = None, max_steps: int = 16384,
                  mesh=None, win_words: int | None = None,
                  k1_syms: int | None = None, win1_words: int | None = None,
-                 packed: bool | None = None):
+                 packed: bool | None = None, merged_backend: bool = False):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self.win_words = win_words
@@ -882,6 +939,10 @@ class DeviceJpegDecoder:
         self.packed = (mesh is None) if packed is None else packed
         if self.packed and mesh is not None:
             raise ValueError("packed upload is single-device only")
+        # one-IDCT + uint8-relayout back-end measured ~1 ms SLOWER than
+        # the per-component graphs on real TPU (tools/ab_bench.py,
+        # 2026-08-18: 26.1 vs 24.7 ms best) — kept A/B-able, off by default
+        self.merged_backend = merged_backend
         self._decode_fns: dict = {}
         self._backend_fns: dict = {}
 
@@ -970,39 +1031,47 @@ class DeviceJpegDecoder:
         import jax.numpy as jnp
 
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
-               self.mesh is not None, self.packed)
+               self.mesh is not None, self.packed, self.merged_backend)
         fn = self._decode_fns.get(key)
         if fn is None:
-            from .batch import _gray_graph, _ycbcr_graph
-
             body = build_decode_fn(
                 plan, k_syms=self.k_syms, max_steps=self.max_steps,
                 win_words=self.win_words, k1_syms=self.k1_syms,
                 win1_words=self.win1_words, packed=self.packed,
-                _raw=True,
+                coeff_dtype=jnp.int32, _raw=True,
             )
-            quants = [
-                np.stack([plan.quants[c]] * plan.batch)
-                for c in range(plan.ncomp)
-            ]
 
-            def fused(*args):
-                coeffs, ok = body(*args)
-                g = coefficients_to_grids(plan, coeffs)
-                if plan.ncomp == 1:
-                    rgb = _gray_graph(
-                        g[0].astype(jnp.int32), jnp.asarray(quants[0]),
-                        height=plan.height, width=plan.width,
-                    )
-                else:
-                    rgb = _ycbcr_graph(
-                        g[0].astype(jnp.int32), g[1].astype(jnp.int32),
-                        g[2].astype(jnp.int32),
-                        *(jnp.asarray(q) for q in quants),
-                        height=plan.height, width=plan.width,
-                        ratio=plan.ratio,
-                    )
-                return rgb, ok
+            if self.merged_backend:
+
+                def fused(*args):
+                    coeffs, ok = body(*args)
+                    return _merged_backend(plan, coeffs), ok
+
+            else:
+                from .batch import _gray_graph, _ycbcr_graph
+
+                quants = [
+                    np.stack([plan.quants[c]] * plan.batch)
+                    for c in range(plan.ncomp)
+                ]
+
+                def fused(*args):
+                    coeffs, ok = body(*args)
+                    g = coefficients_to_grids(plan, coeffs)
+                    if plan.ncomp == 1:
+                        rgb = _gray_graph(
+                            g[0].astype(jnp.int32), jnp.asarray(quants[0]),
+                            height=plan.height, width=plan.width,
+                        )
+                    else:
+                        rgb = _ycbcr_graph(
+                            g[0].astype(jnp.int32), g[1].astype(jnp.int32),
+                            g[2].astype(jnp.int32),
+                            *(jnp.asarray(q) for q in quants),
+                            height=plan.height, width=plan.width,
+                            ratio=plan.ratio,
+                        )
+                    return rgb, ok
 
             fn = jax.jit(fused)
             self._decode_fns[key] = fn
