@@ -52,6 +52,14 @@ VARIANTS = {
     "dri8": dict(packed=True, _prefetch=True, _dri=8),
     # one-IDCT + uint8-relayout back-end (measured slower; kept A/B-able)
     "mergedbk": dict(packed=True, _prefetch=True, merged_backend=True),
+    # back-end layout: lane-minor SoA (default) vs per-component graphs
+    "soabk": dict(packed=True, _prefetch=True, soa_backend=True),
+    "percompbk": dict(packed=True, _prefetch=True, soa_backend=False),
+    # window fetch: one [L, W] row gather vs W full-lane gathers (default)
+    "rowgather": dict(packed=True, _prefetch=True, split_win=False),
+    # output layout: planar [B,3,H,W] (minor W) vs interleaved [B,H,W,3]
+    # (minor 3 -> 128-lane pad on every store)
+    "planar": dict(packed=True, _prefetch=True, planar=True),
 }
 
 

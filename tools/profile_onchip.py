@@ -88,6 +88,9 @@ def main():
     for w in which:
         if w == "fused":
             timed("fused full", dec._fused(p0))
+        elif w == "soa":  # entropy + DC restore, no back-end
+            fn = build_decode_fn(p0, packed=True, _soa_out=True)
+            timed("soa coeffs", fn)
         else:
             fn = build_decode_fn(p0, _stage=int(w), packed=True)
             timed(f"stage {w}", fn)

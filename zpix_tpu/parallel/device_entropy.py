@@ -46,6 +46,12 @@ _DEF_K = int(os.environ.get("ZPIX_ONCHIP_K", "12"))
 _DEF_K1 = int(os.environ.get("ZPIX_ONCHIP_K1", "24"))
 _DEF_W = int(os.environ.get("ZPIX_ONCHIP_W", "4"))
 _DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", "8"))
+# window fetch form: per-word full-lane gathers (1) vs one [L, W] row
+# gather (0) — see _make_window_fetch.  Measured on real TPU 2026-08-19:
+# split windows are a ~3x REGRESSION (90 ms vs 31 ms per batch) — each
+# per-word gather costs like a full row gather, so W of them multiply
+# the dominant primitive.  Default stays 0 (one [L, W] row gather).
+_DEF_SPLIT_WIN = os.environ.get("ZPIX_ONCHIP_SPLIT_WIN", "0") == "1"
 
 from ..codecs.jpeg.tables import UNZIG, HuffTable
 from ..errors import FormatError, UnsupportedError
@@ -71,7 +77,9 @@ class CmpTables:
     compiled program as scalar constants.
     """
 
-    __slots__ = ("ntab", "lims", "aoff", "planes", "nwords", "total")
+    __slots__ = (
+        "ntab", "lims", "aoff", "planes", "nwords", "total", "bases", "counts"
+    )
 
     def __init__(self, tabs: list[HuffTable]):
         self.ntab = len(tabs)
@@ -80,6 +88,8 @@ class CmpTables:
             bases.append(total)
             total += t.num_codes
         self.total = total
+        self.bases = tuple(bases)
+        self.counts = tuple(t.num_codes for t in tabs)
         self.nwords = max(1, (total + 31) // 32)
         vals_concat = np.zeros(self.nwords * 32, np.uint8)
         for t, b in zip(tabs, bases):
@@ -339,13 +349,15 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
             raise UnsupportedError("jpeg: restart segment count mismatch")
 
     # One decode-table slot per distinct (class, table-id); comp c uses
-    # cmp table index tid_dc[c] / tid_ac[c].
+    # cmp table index tid_dc[c] / tid_ac[c].  AC tables first: the
+    # value pass's AC-only loop then touches a contiguous low word range
+    # in the concatenated bit-plane space (see _make_sym_decoder).
     order = []
-    for c, td, ta in sel:
-        if (0, td) not in order:
-            order.append((0, td))
-        if (1, ta) not in order:
-            order.append((1, ta))
+    for want_cls in (1, 0):
+        for c, td, ta in sel:
+            kk = (want_cls, ta if want_cls else td)
+            if kk not in order:
+                order.append(kk)
     tid_of = {kk: i for i, kk in enumerate(order)}
     cmp = CmpTables([huffs[kk] for kk in order])
     sel_by_comp = {i: (td, ta) for i, (_, td, ta) in enumerate(sel)}
@@ -443,19 +455,24 @@ def _bits_at(jnp, w, p, n):
 def _make_sym_decoder(jnp, cmp: CmpTables):
     """Per-symbol canonical decode with zero gathers (see CmpTables).
 
-    Returns decode(look16 int32 [L], mt: list of ntab bool [L] table
-    masks) -> (code_len [L], symbol [L], bad [L]).  All table data is
-    embedded as scalar constants; the whole thing is branch-free
-    elementwise math that XLA fuses into the surrounding loop body.
+    Returns decode(look16 int32 [L], mt: list of ntab table masks) ->
+    (code_len [L], symbol [L], bad [L]).  A mask entry may be a bool [L]
+    array, the literal ``True`` (that table covers every lane — skips
+    the per-lane selects entirely), or ``None`` (table statically absent
+    from this call site — its compare chain is not emitted and its words
+    drop out of the bit-plane select).  All table data is embedded as
+    scalar constants; the whole thing is branch-free elementwise math
+    that XLA fuses into the surrounding loop body.
     """
-    lims, aoff, planes, nwords = cmp.lims, cmp.aoff, cmp.planes, cmp.nwords
+    lims, aoff, planes = cmp.lims, cmp.aoff, cmp.planes
 
     def decode(look, mt):
         i32 = jnp.int32
         ln = jnp.zeros(look.shape, i32)
         a = jnp.zeros(look.shape, i32)
         bad = jnp.zeros(look.shape, bool)
-        for t in range(cmp.ntab):
+        tset = [t for t in range(cmp.ntab) if mt[t] is not None]
+        for t in tset:
             lnt = jnp.full(look.shape, 1, i32)
             at = jnp.full(look.shape, aoff[t][0], i32)
             for i in range(15):
@@ -464,17 +481,24 @@ def _make_sym_decoder(jnp, cmp: CmpTables):
                 d = aoff[t][i + 1] - aoff[t][i]
                 if d:
                     at = at + jnp.where(ge, i32(d), 0)
-            ln = jnp.where(mt[t], lnt, ln)
-            a = jnp.where(mt[t], at, a)
-            bad = bad | (mt[t] & (look >= i32(lims[t][15])))
+            if mt[t] is True:
+                ln, a = lnt, at
+                bad = look >= i32(lims[t][15])
+            else:
+                ln = jnp.where(mt[t], lnt, ln)
+                a = jnp.where(mt[t], at, a)
+                bad = bad | (mt[t] & (look >= i32(lims[t][15])))
         sh = jnp.clip(16 - ln, 0, 16).astype(jnp.uint32)
         vidx = a + (look.astype(jnp.uint32) >> sh).astype(i32)
         w = vidx >> 5
         shv = (vidx & 31).astype(jnp.uint32)
         sym = jnp.zeros(look.shape, i32)
+        # only the words a valid vidx of the active tables can hit
+        wlo = min(cmp.bases[t] >> 5 for t in tset)
+        whi = max((cmp.bases[t] + max(cmp.counts[t], 1) - 1) >> 5 for t in tset)
         for b in range(8):
             word = jnp.zeros(look.shape, jnp.uint32)
-            for ww in range(nwords):
+            for ww in range(wlo, whi + 1):
                 pw = planes[b][ww]
                 if pw:
                     word = word | jnp.where(
@@ -487,108 +511,173 @@ def _make_sym_decoder(jnp, cmp: CmpTables):
 
 
 
+def _make_window_fetch(win):
+    """Per-step window fetch: byte index [L] -> tuple of W uint32 [L].
+
+    ``win`` is either a stacked [N, W] array (ONE row gather whose [L, W]
+    output pads W up to the 128-lane register row) or a tuple of W [N]
+    word arrays (W independent full-lane [L] gathers).  Which is faster
+    is backend-dependent — A/B'd on the real chip (tools/ab_bench.py).
+    """
+    if isinstance(win, tuple):
+        return lambda byte: tuple(wd[byte] for wd in win)
+    W = win.shape[-1]
+    return lambda byte: tuple(win[byte][:, i] for i in range(W))
+
+
+def _win_words(win):
+    return len(win) if isinstance(win, tuple) else win.shape[-1]
+
+
+def _table_masks(jnp, tidv, tset, ntab):
+    """Static mask list for _make_sym_decoder: ``None`` for tables that
+    cannot occur, the literal ``True`` when a single table covers every
+    lane, per-lane compares otherwise."""
+    tset = sorted(set(tset))
+    if len(tset) == 1:
+        return [True if t == tset[0] else None for t in range(ntab)]
+    return [(tidv == t) if t in tset else None for t in range(ntab)]
+
+
+def _merge_masks(jnp, first, mt_a, mt_b, ntab):
+    """Mask list selecting mt_a when ``first`` (traced scalar bool) else
+    mt_b, preserving the None (statically absent) encoding."""
+    out = []
+    for t in range(ntab):
+        a, b = mt_a[t], mt_b[t]
+        if a is None and b is None:
+            out.append(None)
+            continue
+        av = None if a is None else (first if a is True else first & a)
+        bv = None if b is None else (~first if b is True else ~first & b)
+        out.append(av if bv is None else bv if av is None else av | bv)
+    return out
+
+
 def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
-                k_syms):
+                k_syms, dc_set=None, ac_set=None):
     """Shared value pass: one lane per 8x8 block at a known bit offset.
 
-    Decodes DC diff + AC run-length coefficients into a per-lane [64]
-    row in NATURAL order (one-hot emissions compared against the
+    Decodes DC diff + AC run-length coefficients into NATURAL-order
+    coefficient rows (one-hot emissions compared against the
     zigzag-of-natural permutation constant, so the inverse-zigzag
-    reorder of decoder.zig:73-82 costs nothing; one carry
-    read-modify-write per step; RECEIVE/EXTEND per T.81 F.2.2.1,
-    decoder.zig:1115-1134).  Returns the final while_loop state
-    (bit_pos, cur, k, phase, done, err, steps) — bit_pos lands on each
-    block's end boundary, which callers check against the index pass
-    for exact verification.
+    reorder of decoder.zig:73-82 costs nothing; RECEIVE/EXTEND per
+    T.81 F.2.2.1, decoder.zig:1115-1134).
+
+    Every block starts with exactly one DC symbol, and every lane
+    starts at its block's DC: the DC happens at symbol slot 0 of the
+    FIRST while-loop step for all lanes simultaneously.  The body
+    therefore special-cases only (step 0, slot 0) — gated by one traced
+    ``steps == 0`` scalar, sharing the step's window fetch — and every
+    other symbol slot is pure AC: no per-lane phase state, no DC/AC
+    table selects, and the symbol bit-plane select touches only the AC
+    word range.
+
+    The coefficient store is carried TRANSPOSED, [64, L2], so the huge
+    lane axis is minor: TPU vector registers are (8 sublanes, 128
+    lanes) and a [L2, 64] store would waste half of every emission op
+    on lane padding.
+
+    Returns (bit_pos, curT, k, done, err, steps) — bit_pos lands on
+    each block's end boundary, which callers check against the index
+    pass for exact verification; curT is [64, L2].
     """
     L2 = starts.shape[0]
-    W = win.shape[-1]
+    W = _win_words(win)
     off_lim = 32 * W - 48  # look16 + extend both stay inside the window
     decode_sym = _make_sym_decoder(jnp, cmp)
-    # per-lane table masks are fixed per phase: hoist out of the loop
-    eq_dc = [tid_dc2 == t for t in range(cmp.ntab)]
-    eq_ac = [tid_ac2 == t for t in range(cmp.ntab)]
+    dc_set = set(dc_set if dc_set is not None else range(cmp.ntab))
+    ac_set = set(ac_set if ac_set is not None else range(cmp.ntab))
+    mt_dc = _table_masks(jnp, tid_dc2, dc_set, cmp.ntab)
+    mt_ac = _table_masks(jnp, tid_ac2, ac_set, cmp.ntab)
+
+    fetch = _make_window_fetch(win)
+
+    def receive_extend(w, pos, size):
+        """RECEIVE+EXTEND, branch-free (decoder.zig:1115-1134)."""
+        raw = _bits_at(jnp, w, pos, jnp.clip(size, 0, 16)).astype(jnp.int32)
+        raw = jnp.where(size > 0, raw, 0)
+        sz = jnp.clip(size, 0, 16)
+        bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
+        top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
+        return jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
+
+    inv = np.zeros(64, np.int64)
+    inv[UNZIG] = np.arange(64)
+    invT = jnp.asarray(inv)[:, None]  # zigzag index of natural position p
 
     def body2(st):
-        (bit_pos, cur, k, phase, done, err, steps) = st
+        (bit_pos, curT, k, done, err, steps) = st
+        first = steps == 0
         byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-        wW = win[byte]
-        w = tuple(wW[:, i] for i in range(W))
+        w = fetch(byte)
         off0 = (bit_pos & 7).astype(jnp.int32)
         off = off0
-        emits = []  # per-symbol [L] (position, value) pairs, emitted below
+        emits = []  # per-symbol [L] (value, position) pairs, emitted below
 
-        for _ in range(k_syms):
+        for si in range(k_syms):
             active = (~done) & (off <= off_lim)
             look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
-            is_dc = phase == 0
-            mt = [
-                jnp.where(is_dc, eq_dc[t], eq_ac[t]) for t in range(cmp.ntab)
-            ]
-            ln_sel, sym, bad = decode_sym(look16, mt)
+            if si == 0:
+                # slot 0 of step 0 is the DC symbol on EVERY lane
+                mt = _merge_masks(jnp, first, mt_dc, mt_ac, cmp.ntab)
+                ln_sel, sym, bad = decode_sym(look16, mt)
+                is_dc = first
+                r = jnp.where(is_dc, 0, sym >> 4)
+                size = jnp.where(is_dc, sym, sym & 15)
+            else:
+                ln_sel, sym, bad = decode_sym(look16, mt_ac)
+                is_dc = False
+                r = sym >> 4
+                size = sym & 15
             bad = active & bad
 
-            r = jnp.where(is_dc, 0, sym >> 4)
-            size = jnp.where(is_dc, sym, sym & 15)
-            ext_off = off + ln_sel
-            raw = _bits_at(
-                jnp, w, ext_off, jnp.clip(size, 0, 16)
-            ).astype(jnp.int32)
-            raw = jnp.where(size > 0, raw, 0)
-            # RECEIVE/EXTEND, branch-free (decoder.zig:1115-1134)
-            sz = jnp.clip(size, 0, 16)
-            bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
-            top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
-            ext = jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
-
+            ext = receive_extend(w, off + ln_sel, size)
             consume = ln_sel + size
-            new_k = jnp.where(is_dc, 1, k)
-            emit_k = jnp.where(is_dc, 0, jnp.clip(k + r, 0, 63))
-            ac_coef = (~is_dc) & (size > 0)
-            # DC emits the raw diff; predictor chain restored afterwards.
-            emit_v = jnp.where(is_dc, ext, jnp.where(ac_coef, ext, 0))
-            do_emit = is_dc | ac_coef
-            new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
-            eob = (~is_dc) & (size == 0) & (r != 15)
-            zrl = (~is_dc) & (size == 0) & (r == 15)
+            emit_k = jnp.clip(k + r, 0, 63)
+            ac_coef = size > 0
+            new_k = jnp.where(ac_coef, emit_k + 1, k)
+            eob = (size == 0) & (r != 15)
+            zrl = (size == 0) & (r == 15)
             new_k = jnp.where(zrl, k + 16, new_k)
-            blk_done = (eob | (new_k > 63)) & ~is_dc
+            blk_done = eob | (new_k > 63)
+            if si == 0:
+                # DC: emit the raw diff at position 0, k -> 1, never done
+                emit_k = jnp.where(is_dc, 0, emit_k)
+                ac_coef = ac_coef | is_dc
+                new_k = jnp.where(is_dc, 1, new_k)
+                blk_done = blk_done & ~is_dc
 
             app = active & ~bad
-            # collect [L]-wide scalars only; the [L, 64] one-hot work
+            # collect [L]-wide scalars only; the [64, L] one-hot work
             # happens ONCE per step below (a per-symbol one-hot emission
             # costs a separate wide kernel each — ~50 us per symbol slot
             # regardless of lane count, and dominated the whole decode)
-            emits.append((jnp.where(app & do_emit, emit_v, 0), emit_k))
+            emits.append((jnp.where(app & ac_coef, ext, 0), emit_k))
             k = jnp.where(app, new_k, k)
-            phase = jnp.where(app & is_dc, 1, phase)
             off = jnp.where(app, off + consume, off)
             err = err | bad
             done = done | (app & blk_done) | bad
         # emission position k is a ZIGZAG index; comparing against the
         # zigzag-index-of-natural-position constant writes natural order
         # directly (same op count as comparing against arange)
-        inv = np.zeros(64, np.int64)
-        inv[UNZIG] = np.arange(64)
-        ar = jnp.asarray(inv)[None, :]
-        cur = cur + sum(
-            jnp.where(ek[:, None] == ar, ev[:, None], 0) for ev, ek in emits
-        )  # one read-modify-write of cur per step
+        curT = curT + sum(
+            jnp.where(ek[None, :] == invT, ev[None, :], 0) for ev, ek in emits
+        )  # one read-modify-write of curT per step
         bit_pos = bit_pos - off0 + off
-        return (bit_pos, cur, k, phase, done, err, steps + 1)
+        return (bit_pos, curT, k, done, err, steps + 1)
 
     def cond2(st):
         # a block holds <= 64 symbols and every step decodes >= 1
-        n_done = jnp.sum(st[4].astype(jnp.int32))
-        return (n_done < st[4].shape[0]) & (st[6] < 80)
+        n_done = jnp.sum(st[3].astype(jnp.int32))
+        return (n_done < st[3].shape[0]) & (st[5] < 81)
 
     return jax.lax.while_loop(
         cond2,
         body2,
         (
             starts,
-            jnp.zeros((L2, 64), jnp.int32),
-            jnp.zeros(L2, jnp.int32),
+            jnp.zeros((64, L2), jnp.int32),
             jnp.zeros(L2, jnp.int32),
             done0,
             jnp.zeros(L2, bool),
@@ -614,6 +703,19 @@ def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp,
     """
     coeff = cur.reshape(groups, n_mcu_grp, bpm, 64)
     dc = coeff[..., 0]  # [G, M, bpm] raw diffs
+    corr = _dc_prefix(jnp, dc, groups=groups, n_mcu_grp=n_mcu_grp,
+                      hv=hv, ncomp=ncomp)
+    one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
+    coeff = coeff + corr[..., None] * one0
+    out = coeff.reshape(groups, n_mcu_grp * bpm, 64)
+    return out.astype(dtype if dtype is not None else jnp.int16)
+
+
+def _dc_prefix(jnp, dc, *, groups, n_mcu_grp, hv, ncomp):
+    """Exclusive per-group per-component prefix sum of DC diffs.
+
+    dc: [G, M, bpm] raw diffs -> [G, M, bpm] predictor bases
+    (decoder.zig:1366-1376; a group is one predictor chain)."""
     parts = []
     s0 = 0
     for c in range(ncomp):
@@ -622,11 +724,33 @@ def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp,
         pre = (jnp.cumsum(d, axis=1) - d).reshape(groups, n_mcu_grp, nbc)
         parts.append(pre)
         s0 += nbc
-    corr = jnp.concatenate(parts, axis=2)  # [G, M, bpm]
-    one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))
-    coeff = coeff + corr[..., None] * one0
-    out = coeff.reshape(groups, n_mcu_grp * bpm, 64)
-    return out.astype(dtype if dtype is not None else jnp.int16)
+    return jnp.concatenate(parts, axis=2)  # [G, M, bpm]
+
+
+def _restore_dc_T(jnp, curT, *, groups, n_mcu_grp, bpm, hv, ncomp):
+    """DC-predictor restore on the TRANSPOSED SLOT-MAJOR store
+    curT [64, bpm*G*M]: adds the exclusive prefix sum of DC diffs to
+    row 0 as one broadcast add (lane axis stays minor throughout).
+
+    A component's predictor chain visits blocks in (MCU, slot) order
+    (decoder.zig:1366-1376), so with slots major the exclusive prefix
+    splits into a per-MCU cumsum of MCU totals plus an intra-MCU
+    exclusive sum over the component's slots — all ops minor on the
+    huge G*M axis."""
+    dc = curT[0].reshape(bpm, groups, n_mcu_grp)
+    parts = []
+    s0 = 0
+    for c in range(ncomp):
+        nbc = hv[c][0] * hv[c][1]
+        d = dc[s0 : s0 + nbc]  # [nbc, G, M]
+        tot = d.sum(axis=0)  # [G, M] per-MCU diff total
+        base = jnp.cumsum(tot, axis=1) - tot  # exclusive over MCUs
+        partial = jnp.cumsum(d, axis=0) - d  # exclusive over slots
+        parts.append(base[None] + partial)
+        s0 += nbc
+    corr = jnp.concatenate(parts, axis=0).reshape(-1)
+    one0 = jnp.asarray((np.arange(64) == 0).astype(np.int32))[:, None]
+    return curT + corr[None, :] * one0
 
 
 def build_decode_fn(
@@ -634,6 +758,7 @@ def build_decode_fn(
     win_words: int | None = None, k1_syms: int | None = None,
     win1_words: int | None = None, packed: bool = False,
     coeff_dtype=None, _stage: int = 2, _raw: bool = False,
+    _soa_out: bool = False, split_win: bool | None = None,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -681,6 +806,8 @@ def build_decode_fn(
     off_lim = 32 * W - 48  # look16 + extend both stay inside the window
     off_lim1 = 32 * W1 - 48
     k1 = k1_syms if k1_syms is not None else _DEF_K1
+    if split_win is None:
+        split_win = _DEF_SPLIT_WIN
     if max_steps is None:
         # every pass-1 step consumes >= min(k1 symbols of >= 2 bits,
         # the window capacity) or finishes the lane, so the longest
@@ -706,16 +833,23 @@ def build_decode_fn(
             (b[4 * j] << 24) | (b[4 * j + 1] << 16) | (b[4 * j + 2] << 8) | b[4 * j + 3]
             for j in range(wmax)
         ]
-        win = jnp.stack(words[:W], axis=-1)
-        win1 = win if W1 == W else jnp.stack(words[:W1], axis=-1)
+        if split_win:
+            win = tuple(words[:W])
+            win1 = win if W1 == W else tuple(words[:W1])
+        else:
+            win = jnp.stack(words[:W], axis=-1)
+            win1 = win if W1 == W else jnp.stack(words[:W1], axis=-1)
+        fetch1 = _make_window_fetch(win1)
         decode_sym = _make_sym_decoder(jnp, cmp)
 
         # ---------------- pass 1: block end bit-positions per segment
+        # (offs carried TRANSPOSED, [nblk, L1]: nblk is small — 24 at
+        # dri=4 — so lane-minor layout keeps the one-hot emission ops
+        # from wasting 128-nblk of every vector register row)
         def body1(st):
-            (bit_pos, offs, slot, mcu_cnt, k, phase, done, err, steps) = st
+            (bit_pos, offsT, slot, mcu_cnt, k, phase, done, err, steps) = st
             byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-            wW = win1[byte]
-            w = tuple(wW[:, i] for i in range(W1))
+            w = fetch1(byte)
             off0 = (bit_pos & 7).astype(jnp.int32)
             off = off0
             base = (byte << 3).astype(jnp.int32)  # window start, absolute bits
@@ -762,13 +896,13 @@ def build_decode_fn(
                 off = jnp.where(app, off + consume, off)
                 err = err | bad
                 done = done | (mcu_cnt >= seg_n_mcu) | bad
-            arb = jnp.arange(nblk)[None, :]
-            offs = offs + sum(
-                jnp.where(bi[:, None] == arb, ev[:, None], 0)
+            arb = jnp.arange(nblk)[:, None]
+            offsT = offsT + sum(
+                jnp.where(bi[None, :] == arb, ev[None, :], 0)
                 for bi, ev in emits
-            )  # one read-modify-write of offs per step
+            )  # one read-modify-write of offsT per step
             bit_pos = bit_pos - off0 + off
-            return (bit_pos, offs, slot, mcu_cnt, k, phase, done, err, steps + 1)
+            return (bit_pos, offsT, slot, mcu_cnt, k, phase, done, err, steps + 1)
 
         def cond1(st):
             # sum-based termination test (bool all-reduce miscompiles on
@@ -781,7 +915,7 @@ def build_decode_fn(
             body1,
             (
                 seg_bit_pos.astype(jnp.int32),
-                jnp.zeros((L1, nblk), jnp.int32),
+                jnp.zeros((nblk, L1), jnp.int32),
                 jnp.zeros(L1, jnp.int32),
                 jnp.zeros(L1, jnp.int32),
                 jnp.zeros(L1, jnp.int32),
@@ -791,43 +925,69 @@ def build_decode_fn(
                 jnp.int32(0),
             ),
         )
-        ends = st1[1]  # [L1, nblk]
+        ends = st1[1].T  # [L1, nblk]
         ok1 = jnp.all(st1[6]) & ~jnp.any(st1[7])
         if _stage == 1:  # debug: index pass only
             return ends, ok1
 
-        # ---------------- pass 2: one lane per block
-        starts = jnp.concatenate(
+        # ---------------- pass 2: one lane per block, SLOT-MAJOR lanes
+        # Lane order [bpm, L1, seg_mcus]: the component axis is then
+        # MAJOR in the coefficient store, so the SoA back-end slices
+        # components as contiguous views and every per-position row
+        # keeps the huge (L1*seg_mcus) axis minor.  The permutes here
+        # touch only [L2]-sized int32/bool arrays (cheap); the [64, L2]
+        # store itself is born in the right order.
+        starts_blk = jnp.concatenate(
             [seg_bit_pos.astype(jnp.int32)[:, None], ends[:, :-1]], axis=1
+        )
+        to_sm = lambda a: jnp.transpose(  # noqa: E731
+            a.reshape(L1, n_mcu_seg, bpm), (2, 0, 1)
         ).reshape(-1)
-        valid = (
-            jnp.arange(nblk)[None, :] < (seg_n_mcu * bpm)[:, None]
+        starts = to_sm(starts_blk)
+        valid = jnp.broadcast_to(
+            jnp.arange(n_mcu_seg)[None, None, :] < seg_n_mcu[None, :, None],
+            (bpm, L1, n_mcu_seg),
         ).reshape(-1)
-        lane2 = jnp.arange(L2)
-        slot2 = (lane2 % bpm).astype(jnp.int32)
+        slot2 = (jnp.arange(L2) // (L1 * n_mcu_seg)).astype(jnp.int32)
         tid_dc2 = _select_by_index(jnp, slot2, tid_of_slot_dc)
         tid_ac2 = _select_by_index(jnp, slot2, tid_of_slot_ac)
 
         st2 = _value_pass(
             jax, jnp, win=win, cmp=cmp, n=n, starts=starts,
             done0=~valid, tid_dc2=tid_dc2, tid_ac2=tid_ac2, k_syms=k_syms,
+            dc_set=set(tid_of_slot_dc), ac_set=set(tid_of_slot_ac),
         )
-        cur = st2[1]
+        curT = st2[1]  # [64, L2] slot-major lanes
+
+        def to_legacy(cT):
+            # [64, bpm, L1, M] -> [L1, M, bpm, 64] -> [L2, 64]
+            return jnp.transpose(
+                cT.reshape(64, bpm, L1, n_mcu_seg), (2, 3, 1, 0)
+            ).reshape(L2, 64)
+
         if _stage == 15:  # debug: value pass, raw
-            return cur.astype(jnp.int16), jnp.all(st2[4])
+            return to_legacy(curT).astype(jnp.int16), jnp.all(st2[3])
         # integrity: pass 2 must land exactly on pass 1's block ends
-        agree = (st2[0] == ends.reshape(-1)) | ~valid
+        agree = (st2[0] == to_sm(ends)) | ~valid
         ok = (
             ok1
-            & jnp.all(st2[4])
-            & ~jnp.any(st2[5] & valid)
+            & jnp.all(st2[3])
+            & ~jnp.any(st2[4] & valid)
             & jnp.all(agree)
         )
         if _stage == 17:  # debug: + integrity check
-            return cur.astype(jnp.int16), ok
+            return to_legacy(curT).astype(jnp.int16), ok
+
+        if _soa_out:
+            # lane-minor store straight into the SoA back-end: DC fix is
+            # a broadcast add; no [L2, 64]-major relayout anywhere
+            return _restore_dc_T(
+                jnp, curT, groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
+                hv=plan.hv, ncomp=plan.ncomp,
+            ), ok
 
         coeffs = _restore_dc_and_reorder(
-            jnp, cur, groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
+            jnp, to_legacy(curT), groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
             hv=plan.hv, ncomp=plan.ncomp, dtype=coeff_dtype,
         )
         return coeffs, ok
@@ -858,6 +1018,88 @@ def build_decode_fn(
     if _raw:
         return decode
     return jax.jit(decode)
+
+
+def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False):
+    """Lane-minor (struct-of-arrays) back-end: dequant + IDCT + level
+    shift as 64 full-lane [N] vectors per component.
+
+    The per-component graphs (batch.py::_component_plane) carry
+    [B, bv, bh, 8, 8] int32 tensors whose minor dimension is 8 — on TPU
+    the VPU register tile is (8 sublanes, 128 lanes), so every op there
+    uses 8/128 of the lane dimension (~16x waste), which made the
+    back-end the slowest stage (11.7 ms of a 23 ms batch, 2026-08-19).
+    Here the block axis (hundreds of thousands of blocks) is minor for
+    the whole butterfly: ONE int32 transpose puts the 64 coefficient
+    positions major, the Wang IDCT (idct.zig:77-201 semantics, exact)
+    runs as elementwise math over 64 [N]-wide vectors, and one uint8
+    transpose assembles raster planes.  Dequant is a scalar-constant
+    multiply per position (decoder.zig:1564-1567); level shift + clamp
+    per decoder.zig:1611-1633; chroma upsample + exact YCbCr->RGB
+    unchanged (full-lane [B, H, W] planes).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.idct import _butterfly_col_list, _butterfly_row_list
+    from ..ops.ycbcr import upsample_chroma_jnp, ycbcr_to_rgb8_jnp
+
+    B, mxx, myy, bpm = plan.batch, plan.mxx, plan.myy, plan.bpm
+    m_pad = plan.n_segs * plan.seg_mcus  # >= n_mcu (last segment padding)
+    if coeffs.ndim == 2:  # [64, bpm*B*m_pad] slot-major lanes (_soa_out)
+        xt = coeffs.reshape(64, bpm, B, m_pad).astype(jnp.int32)
+    else:  # legacy [L1, nblk, 64] (slot minor): one int32 relayout
+        x = coeffs.reshape(B, m_pad, bpm, 64).astype(jnp.int32)
+        xt = jnp.transpose(x, (3, 2, 0, 1))  # [64, bpm, B, m_pad]
+    planes = []
+    s0 = 0
+    for c in range(plan.ncomp):
+        hc, vc = plan.hv[c]
+        nb = hc * vc
+        q = plan.quants[c]
+        # cols[p]: [nb, B, m_pad] int32, a contiguous major-axis view;
+        # dequant is a scalar-constant multiply (decoder.zig:1564-1567)
+        cols = [
+            xt[p, s0 : s0 + nb] * jnp.int32(int(q[p])) for p in range(64)
+        ]
+        rows_out = [
+            _butterfly_row_list([cols[8 * r + cc] for cc in range(8)], jnp)
+            for r in range(8)
+        ]
+        out = [None] * 64
+        for cc in range(8):
+            colres = _butterfly_col_list(
+                [rows_out[r][cc] for r in range(8)], jnp
+            )
+            for r in range(8):
+                out[8 * r + cc] = colres[r]
+        pix = jnp.stack(
+            [jnp.clip(o + jnp.int32(128), 0, 255).astype(jnp.uint8) for o in out]
+        )  # [64, nb, B, m_pad] uint8
+        # [pr, pc, sv, sh, B, m] -> [B, m, sv, pr, sh, pc], then drop the
+        # last-segment padding on the now-major MCU axis and rasterize
+        p6 = pix.reshape(8, 8, vc, hc, B, m_pad)
+        p6 = jnp.transpose(p6, (4, 5, 2, 0, 3, 1))[:, : plan.n_mcu]
+        p6 = p6.reshape(B, myy, mxx, vc, 8, hc, 8)
+        plane = jnp.transpose(p6, (0, 1, 3, 4, 2, 5, 6)).reshape(
+            B, myy * vc * 8, mxx * hc * 8
+        )
+        planes.append(plane)
+        s0 += nb
+    y = planes[0][:, : plan.height, : plan.width]
+    if plan.ncomp == 1:
+        return y
+    hf = plan.hv[0][0] // plan.hv[1][0]
+    vf = plan.hv[0][1] // plan.hv[1][1]
+    cb = upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width)
+    cr = upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width)
+    r, g, b = ycbcr_to_rgb8_jnp(y, cb, cr)
+    if planar:
+        # [B, 3, H, W]: W stays the minor dim.  An interleaved
+        # [B, H, W, 3] device tensor tiles its minor dim of 3 up to the
+        # 128-lane register row — a planar output sidesteps that pad on
+        # every store; hosts interleave after the fetch if needed.
+        return jnp.stack([r, g, b], axis=1)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def _merged_backend(plan: ScanPlan, coeffs):
@@ -927,12 +1169,18 @@ class DeviceJpegDecoder:
     def __init__(self, *, k_syms: int | None = None, max_steps: int = 16384,
                  mesh=None, win_words: int | None = None,
                  k1_syms: int | None = None, win1_words: int | None = None,
-                 packed: bool | None = None, merged_backend: bool = False):
+                 packed: bool | None = None, merged_backend: bool = False,
+                 soa_backend: bool | None = None,
+                 split_win: bool | None = None, planar: bool = False):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self.win_words = win_words
         self.k1_syms = k1_syms
         self.win1_words = win1_words
+        self.split_win = split_win
+        # planar=True: fused decode returns [B, 3, H, W] (color) — the
+        # TPU-friendly layout (minor dim W, not 3); gray is unaffected
+        self.planar = planar
         self.mesh = mesh  # jax.sharding.Mesh with a "batch" axis, or None
         # one-buffer upload (stream ++ offsets); only the unsharded path
         # supports it — the mesh path shards the offset arrays over lanes
@@ -943,6 +1191,10 @@ class DeviceJpegDecoder:
         # the per-component graphs on real TPU (tools/ab_bench.py,
         # 2026-08-18: 26.1 vs 24.7 ms best) — kept A/B-able, off by default
         self.merged_backend = merged_backend
+        # lane-minor SoA back-end (see _soa_backend); default on
+        self.soa_backend = True if soa_backend is None else soa_backend
+        if merged_backend:
+            self.soa_backend = False
         self._decode_fns: dict = {}
         self._backend_fns: dict = {}
 
@@ -988,7 +1240,7 @@ class DeviceJpegDecoder:
             fn = build_decode_fn(plan, k_syms=self.k_syms, max_steps=self.max_steps,
                                  win_words=self.win_words, k1_syms=self.k1_syms,
                                  win1_words=self.win1_words,
-                                 packed=self.packed)
+                                 packed=self.packed, split_win=self.split_win)
             self._decode_fns[key] = fn
         return fn(*self._put(plan))
 
@@ -1031,17 +1283,26 @@ class DeviceJpegDecoder:
         import jax.numpy as jnp
 
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
-               self.mesh is not None, self.packed, self.merged_backend)
+               self.mesh is not None, self.packed, self.merged_backend,
+               self.soa_backend, self.planar)
         fn = self._decode_fns.get(key)
         if fn is None:
             body = build_decode_fn(
                 plan, k_syms=self.k_syms, max_steps=self.max_steps,
                 win_words=self.win_words, k1_syms=self.k1_syms,
                 win1_words=self.win1_words, packed=self.packed,
+                split_win=self.split_win,
                 coeff_dtype=jnp.int32, _raw=True,
+                _soa_out=self.soa_backend,
             )
 
-            if self.merged_backend:
+            if self.soa_backend:
+
+                def fused(*args):
+                    coeffs, ok = body(*args)
+                    return _soa_backend(plan, coeffs, planar=self.planar), ok
+
+            elif self.merged_backend:
 
                 def fused(*args):
                     coeffs, ok = body(*args)

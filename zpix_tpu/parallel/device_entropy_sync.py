@@ -409,21 +409,22 @@ def build_sync_decode_fn(
             jax, jnp, win=win, cmp=cmp, n=n, starts=starts,
             done0=jnp.zeros(L2, bool), tid_dc2=tid_dc2, tid_ac2=tid_ac2,
             k_syms=k_syms,
+            dc_set=set(tid_of_slot_dc), ac_set=set(tid_of_slot_ac),
         )
-        cur = st2[1]
+        curT = st2[1]  # [64, L2]
         agree = st2[0] == ends_global.reshape(L2)
         ok = (
             jnp.all(scan_done)
             & err_ok
             & total_ok
             & end_ok
-            & jnp.all(st2[4])
-            & ~jnp.any(st2[5])
+            & jnp.all(st2[3])
+            & ~jnp.any(st2[4])
             & jnp.all(agree)
         )
 
         coeffs = _restore_dc_and_reorder(
-            jnp, cur, groups=B, n_mcu_grp=n_mcu, bpm=bpm,
+            jnp, curT.T, groups=B, n_mcu_grp=n_mcu, bpm=bpm,
             hv=plan.hv, ncomp=plan.ncomp,
         )
         return coeffs, ok
