@@ -100,7 +100,10 @@ def main_onchip(batch: int, size: int, steps: int):
 
     from zpix_tpu.parallel.device_entropy import DeviceJpegDecoder, prep_batch
 
-    dri = int(os.environ.get("BENCH_DRI", "4"))
+    # dri=8 measured best on real TPU (tools/ab_bench.py 2026-08-19:
+    # dri 4/8/16/32 -> 1562/1646/1646/1622 MPix/s best): longer restart
+    # segments amortize per-lane pass-1 state; plateau at 8-16.
+    dri = int(os.environ.get("BENCH_DRI", "8"))
     mpix_per_image = size * size / 1e6
 
     # The tunneled link does NOT overlap H2D transfers with compute (a
@@ -214,6 +217,67 @@ def main_onchip(batch: int, size: int, steps: int):
     return mpix_s
 
 
+def make_bench_png(size: int = 1024, seed: int = 0) -> bytes:
+    """Structured RGB8 PNG with distinct content per seed."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 20, size)
+    base = (128 + 100 * np.sin(x[None, :] * np.cos(x[:, None]) + seed)).astype(
+        np.uint8
+    )
+    noise = rng.randint(0, 24, (size, size)).astype(np.uint8)
+    rgb = np.stack([base ^ noise, base.T, (base // 2 + 64)], -1)
+    buf = BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG", compress_level=6)
+    return buf.getvalue()
+
+
+def main_png(batch: int, size: int, steps: int):
+    """Batched PNG RGB8 decode, end-to-end: host inflate (zlib/libdeflate,
+    threaded) + native defilter -> upload -> device expansion.  Unlike the
+    on-chip JPEG path the device input is the full defiltered pixel data,
+    so this metric includes the host front-end and the link; it is
+    host/link bound by design (PNG's LZ77 window is a serial dependency,
+    SURVEY.md hard-part #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    mpix = batch * size * size / 1e6
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    pools = [
+        [make_bench_png(size, seed=s * batch + j) for j in range(batch)]
+        for s in range(steps * trials)
+    ]
+    dec = BatchPngDecoder()
+    digest = make_digest()
+
+    @jax.jit
+    def dig(acc, out):
+        return digest(acc, out)
+
+    acc = dig(jnp.uint32(0), dec.decode(pools[0]))
+    _ = int(acc)  # warm compile
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.perf_counter()
+        acc = jnp.uint32(t + 1)
+        for i in range(steps):
+            acc = dig(acc, dec.decode(pools[(t * steps + i) % len(pools)]))
+        _ = int(acc)
+        best = min(best, time.perf_counter() - t0)
+    print(
+        f"# png batch path | batch={batch} size={size} steps={steps} "
+        f"backend={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    return steps * mpix / best
+
+
 def main():
     # Self-exit instead of being killed: a client killed mid-TPU-op wedges
     # the tunneled backend's D2H path for every later process (CLAUDE.md
@@ -243,6 +307,21 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "24"))
     workers = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 8)))
+
+    if os.environ.get("BENCH_MODE", "onchip") == "png":
+        mpix_s = main_png(batch, size, steps)
+        print(
+            json.dumps(
+                {
+                    "metric": "batched PNG RGB8 decode (host inflate+defilter"
+                    " + device expansion)",
+                    "value": round(mpix_s, 1),
+                    "unit": "MPix/s/chip",
+                    "vs_baseline": round(mpix_s / 2000.0, 4),
+                }
+            )
+        )
+        return
 
     if os.environ.get("BENCH_MODE", "onchip") == "onchip":
         staged = os.environ.get("BENCH_STAGED", "1") == "1"

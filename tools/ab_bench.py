@@ -43,13 +43,19 @@ VARIANTS = {
     "k16w6": dict(packed=True, k_syms=16, win_words=6, _prefetch=True),
     "k16w5": dict(packed=True, k_syms=16, win_words=5, _prefetch=True),
     "k8w4": dict(packed=True, k_syms=8, _prefetch=True),
+    "k20w6": dict(packed=True, k_syms=20, win_words=6, _prefetch=True),
+    "k24w8": dict(packed=True, k_syms=24, win_words=8, _prefetch=True),
     # pass-1 window/unroll
     "p1k24w8": dict(packed=True, k1_syms=24, win1_words=8, _prefetch=True),
     "p1k20w6": dict(packed=True, k1_syms=20, win1_words=6, _prefetch=True),
     "p1k32w10": dict(packed=True, k1_syms=32, win1_words=10, _prefetch=True),
+    "p1k32w12": dict(packed=True, k1_syms=32, win1_words=12, _prefetch=True),
+    "p1k48w16": dict(packed=True, k1_syms=48, win1_words=16, _prefetch=True),
     # restart-interval granularity (shorter segments = fewer pass-1 steps)
     "dri2": dict(packed=True, _prefetch=True, _dri=2),
     "dri8": dict(packed=True, _prefetch=True, _dri=8),
+    "dri16": dict(packed=True, _prefetch=True, _dri=16),
+    "dri32": dict(packed=True, _prefetch=True, _dri=32),
     # one-IDCT + uint8-relayout back-end (measured slower; kept A/B-able)
     "mergedbk": dict(packed=True, _prefetch=True, merged_backend=True),
     # back-end layout: lane-minor SoA (default) vs per-component graphs
@@ -60,6 +66,9 @@ VARIANTS = {
     # output layout: planar [B,3,H,W] (minor W) vs interleaved [B,H,W,3]
     # (minor 3 -> 128-lane pad on every store)
     "planar": dict(packed=True, _prefetch=True, planar=True),
+    # uint8 stage-boundary optimization barriers in the SoA back-end
+    "bar": dict(packed=True, _prefetch=True, soa_barriers=True),
+    "nobar": dict(packed=True, _prefetch=True, soa_barriers=False),
 }
 
 

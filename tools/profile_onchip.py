@@ -91,6 +91,22 @@ def main():
         elif w == "soa":  # entropy + DC restore, no back-end
             fn = build_decode_fn(p0, packed=True, _soa_out=True)
             timed("soa coeffs", fn)
+        elif w in ("pix", "planes", "ups", "rgbr", "bk"):  # back-end truncations
+            from zpix_tpu.parallel.device_entropy import _soa_backend
+
+            body = build_decode_fn(p0, packed=True, _soa_out=True, _raw=True)
+            stop = None if w == "bk" else w
+
+            def make(body=body, stop=stop):
+                import jax
+
+                def f(*args):
+                    coeffs, ok = body(*args)
+                    return _soa_backend(p0, coeffs, _stop=stop), ok
+
+                return jax.jit(f)
+
+            timed(f"+backend[{w}]", make())
         else:
             fn = build_decode_fn(p0, _stage=int(w), packed=True)
             timed(f"stage {w}", fn)

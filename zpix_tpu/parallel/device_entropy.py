@@ -40,11 +40,12 @@ import numpy as np
 # while-loop step has a ~1 ms dispatch floor on the tunneled TPU, so
 # production wants fat steps; XLA:CPU compiles of the big unrolled bodies
 # are slow, so the test suite dials these down via env (tests/conftest.py).
-# K1=24/W1=8 measured best on real TPU (tools/ab_bench.py, 2026-08-18:
-# 22.2 ms/batch median vs 22.9 for K1=16/W1=4; pass-2 variants flat).
-_DEF_K = int(os.environ.get("ZPIX_ONCHIP_K", "12"))
+# K1=24/W1=8 and K=16/W=6 measured best on real TPU (tools/ab_bench.py,
+# 2026-08-19 after the lane-minor rework: k16w6 14.6 ms vs k12w4 15.2,
+# k20w6 14.8; dri grid 1036-1173 MPix/s, all within ~8%).
+_DEF_K = int(os.environ.get("ZPIX_ONCHIP_K", "16"))
 _DEF_K1 = int(os.environ.get("ZPIX_ONCHIP_K1", "24"))
-_DEF_W = int(os.environ.get("ZPIX_ONCHIP_W", "4"))
+_DEF_W = int(os.environ.get("ZPIX_ONCHIP_W", "6"))
 _DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", "8"))
 # window fetch form: per-word full-lane gathers (1) vs one [L, W] row
 # gather (0) — see _make_window_fetch.  Measured on real TPU 2026-08-19:
@@ -52,6 +53,8 @@ _DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", "8"))
 # per-word gather costs like a full row gather, so W of them multiply
 # the dominant primitive.  Default stays 0 (one [L, W] row gather).
 _DEF_SPLIT_WIN = os.environ.get("ZPIX_ONCHIP_SPLIT_WIN", "0") == "1"
+# uint8 stage-boundary optimization barriers in the SoA back-end
+_DEF_SOA_BARRIERS = os.environ.get("ZPIX_SOA_BARRIERS", "1") == "1"
 
 from ..codecs.jpeg.tables import UNZIG, HuffTable
 from ..errors import FormatError, UnsupportedError
@@ -1020,7 +1023,8 @@ def build_decode_fn(
     return jax.jit(decode)
 
 
-def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False):
+def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False,
+                 barriers: bool | None = None, _stop: str | None = None):
     """Lane-minor (struct-of-arrays) back-end: dequant + IDCT + level
     shift as 64 full-lane [N] vectors per component.
 
@@ -1038,10 +1042,19 @@ def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False):
     per decoder.zig:1611-1633; chroma upsample + exact YCbCr->RGB
     unchanged (full-lane [B, H, W] planes).
     """
+    import jax
     import jax.numpy as jnp
 
     from ..ops.idct import _butterfly_col_list, _butterfly_row_list
     from ..ops.ycbcr import upsample_chroma_jnp, ycbcr_to_rgb8_jnp
+
+    if barriers is None:
+        barriers = _DEF_SOA_BARRIERS
+    # Without barriers XLA sinks the uint8 conversion below the plane
+    # assembly/upsample and pays full-image s32 layout copies (~1 GB of
+    # copy traffic per 16x1024x1024 batch in the dumped HLO, 2026-08-19);
+    # pinning the stage boundaries at uint8 keeps the copies 4x smaller.
+    bar = jax.lax.optimization_barrier if barriers else (lambda x: x)
 
     B, mxx, myy, bpm = plan.batch, plan.mxx, plan.myy, plan.bpm
     m_pad = plan.n_segs * plan.seg_mcus  # >= n_mcu (last segment padding)
@@ -1075,6 +1088,10 @@ def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False):
         pix = jnp.stack(
             [jnp.clip(o + jnp.int32(128), 0, 255).astype(jnp.uint8) for o in out]
         )  # [64, nb, B, m_pad] uint8
+        if _stop == "pix":  # debug/profiling: skip the raster relayout
+            planes.append(pix)
+            s0 += nb
+            continue
         # [pr, pc, sv, sh, B, m] -> [B, m, sv, pr, sh, pc], then drop the
         # last-segment padding on the now-major MCU axis and rasterize
         p6 = pix.reshape(8, 8, vc, hc, B, m_pad)
@@ -1083,16 +1100,22 @@ def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False):
         plane = jnp.transpose(p6, (0, 1, 3, 4, 2, 5, 6)).reshape(
             B, myy * vc * 8, mxx * hc * 8
         )
-        planes.append(plane)
+        planes.append(bar(plane))
         s0 += nb
+    if _stop in ("pix", "planes"):  # debug/profiling: truncated graphs
+        return planes[0]
     y = planes[0][:, : plan.height, : plan.width]
     if plan.ncomp == 1:
         return y
     hf = plan.hv[0][0] // plan.hv[1][0]
     vf = plan.hv[0][1] // plan.hv[1][1]
-    cb = upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width)
-    cr = upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width)
-    r, g, b = ycbcr_to_rgb8_jnp(y, cb, cr)
+    cb = bar(upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width))
+    cr = bar(upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width))
+    if _stop == "ups":  # debug/profiling: planes + upsample, no color
+        return cb
+    r, g, b = (bar(c) for c in ycbcr_to_rgb8_jnp(y, cb, cr))
+    if _stop == "rgbr":  # debug/profiling: full color math, no stack
+        return r
     if planar:
         # [B, 3, H, W]: W stays the minor dim.  An interleaved
         # [B, H, W, 3] device tensor tiles its minor dim of 3 up to the
@@ -1143,9 +1166,13 @@ def _merged_backend(plan: ScanPlan, coeffs):
         return y
     hf = plan.hv[0][0] // plan.hv[1][0]
     vf = plan.hv[0][1] // plan.hv[1][1]
-    cb = upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width)
-    cr = upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width)
-    r, g, b = ycbcr_to_rgb8_jnp(y, cb, cr)
+    cb = bar(upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width))
+    cr = bar(upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width))
+    if _stop == "ups":  # debug/profiling: planes + upsample, no color
+        return cb
+    r, g, b = (bar(c) for c in ycbcr_to_rgb8_jnp(y, cb, cr))
+    if _stop == "rgbr":  # debug/profiling: full color math, no stack
+        return r
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -1171,7 +1198,8 @@ class DeviceJpegDecoder:
                  k1_syms: int | None = None, win1_words: int | None = None,
                  packed: bool | None = None, merged_backend: bool = False,
                  soa_backend: bool | None = None,
-                 split_win: bool | None = None, planar: bool = False):
+                 split_win: bool | None = None, planar: bool = False,
+                 soa_barriers: bool | None = None):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self.win_words = win_words
@@ -1193,6 +1221,7 @@ class DeviceJpegDecoder:
         self.merged_backend = merged_backend
         # lane-minor SoA back-end (see _soa_backend); default on
         self.soa_backend = True if soa_backend is None else soa_backend
+        self.soa_barriers = soa_barriers
         if merged_backend:
             self.soa_backend = False
         self._decode_fns: dict = {}
@@ -1284,7 +1313,7 @@ class DeviceJpegDecoder:
 
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
                self.mesh is not None, self.packed, self.merged_backend,
-               self.soa_backend, self.planar)
+               self.soa_backend, self.planar, self.soa_barriers)
         fn = self._decode_fns.get(key)
         if fn is None:
             body = build_decode_fn(
@@ -1300,7 +1329,10 @@ class DeviceJpegDecoder:
 
                 def fused(*args):
                     coeffs, ok = body(*args)
-                    return _soa_backend(plan, coeffs, planar=self.planar), ok
+                    return _soa_backend(
+                        plan, coeffs, planar=self.planar,
+                        barriers=self.soa_barriers,
+                    ), ok
 
             elif self.merged_backend:
 
