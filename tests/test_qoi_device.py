@@ -1,0 +1,88 @@
+"""On-chip QOI decode (speculative chunk scan) differential tests.
+
+The device kernel must be bit-exact versus the host decoder
+(codecs/qoi/decode.py, itself differentially tested against the reference
+semantics /root/reference/src/qoi/decoder.zig:20-130) over streams that
+exercise every op and the stream-exhausted fill path.
+"""
+
+import numpy as np
+import pytest
+
+from zpix_tpu.codecs.qoi.decode import decode as host_decode
+from zpix_tpu.codecs.qoi.encode import Desc, encode
+from zpix_tpu.errors import UnsupportedError
+from zpix_tpu.parallel.qoi_batch import BatchQoiDecoder, prep_qoi_batch
+
+
+def _images(w=40, h=24, seed=0):
+    """Gradient (DIFF/LUMA chains), flat (RUN caps), palette-ish (INDEX
+    hits), and noise (RGB/RGBA literals) — every op class is exercised."""
+    rng = np.random.default_rng(seed)
+    grad = np.zeros((h, w, 4), np.uint8)
+    grad[..., 3] = 255
+    grad[..., :3] = (
+        np.arange(w)[None, :, None] * 2 + np.arange(h)[:, None, None]
+    ).astype(np.uint8)
+    flat = np.full((h, w, 4), 77, np.uint8)
+    pal = np.zeros((h, w, 4), np.uint8)
+    lut = rng.integers(0, 256, (7, 4), dtype=np.uint8)
+    pal[:] = lut[(np.arange(h * w) % 7)].reshape(h, w, 4)
+    noise = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    return [grad, flat, pal, noise]
+
+
+def _enc(img):
+    h, w = img.shape[:2]
+    return encode(img, Desc(w, h, 4, 0))
+
+
+def test_device_qoi_parity():
+    imgs = _images()
+    datas = [_enc(a) for a in imgs]
+    dec = BatchQoiDecoder(chunk_bytes=32, k_ops=2)
+    out, ok = dec.decode(datas)
+    assert bool(ok)
+    out = np.asarray(out)
+    for i, d in enumerate(datas):
+        assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"
+
+
+def test_device_qoi_chunk_geometry_invariance():
+    """Chunk size must not affect the decode (fixed point is exact)."""
+    img = _images()[0]
+    data = _enc(img)
+    ref = host_decode(data).pix
+    for cb in (16, 64, 256):
+        out, ok = BatchQoiDecoder(chunk_bytes=cb).decode([data])
+        assert bool(ok), f"chunk_bytes={cb}"
+        assert np.array_equal(np.asarray(out)[0], ref), f"chunk_bytes={cb}"
+
+
+def test_device_qoi_truncated_fill():
+    """A truncated op stream must reproduce the host's fill-with-last-px
+    tail (decoder.zig:67-69) — via ok=False fallback or exact device fill."""
+    data = _enc(_images()[3])
+    t = data[: len(data) // 2] + b"\x00" * 8
+    ref = host_decode(t).pix
+    out = BatchQoiDecoder(chunk_bytes=32).decode_verified([t])
+    assert np.array_equal(out[0], ref)
+
+
+def test_device_qoi_rejects_mixed_dims():
+    a = _enc(np.zeros((8, 8, 4), np.uint8))
+    b = _enc(np.zeros((8, 16, 4), np.uint8))
+    with pytest.raises(UnsupportedError):
+        prep_qoi_batch([a, b])
+
+
+def test_device_qoi_mixed_stream_lengths():
+    """Same dims, very different compressed sizes: trailing empty chunks
+    must pass state through untouched."""
+    imgs = [_images()[1], _images()[3]]  # flat (tiny stream) vs noise (big)
+    datas = [_enc(a) for a in imgs]
+    out, ok = BatchQoiDecoder(chunk_bytes=32).decode(datas)
+    assert bool(ok)
+    out = np.asarray(out)
+    for i, d in enumerate(datas):
+        assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"

@@ -15,12 +15,14 @@ from .batch import BatchJpegDecoder, decode_batch_ycbcr_to_rgb
 from .device_entropy import DeviceJpegDecoder
 from .device_entropy_sync import SyncJpegDecoder
 from .png_batch import BatchPngDecoder
+from .qoi_batch import BatchQoiDecoder
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
     "BatchJpegDecoder",
     "BatchPngDecoder",
+    "BatchQoiDecoder",
     "DeviceJpegDecoder",
     "SyncJpegDecoder",
     "decode_batch_ycbcr_to_rgb",
