@@ -90,7 +90,11 @@ def _synth_jpeg(w=200, h=120, mode="420", dri_blocks=5):
     return buf.getvalue()
 
 
-@pytest.mark.parametrize("mode", ["gray", "444", "422", "420"])
+@pytest.mark.parametrize(
+    "mode",
+    ["gray", pytest.param("444", marks=pytest.mark.slow),
+     pytest.param("422", marks=pytest.mark.slow), "420"],
+)
 def test_ratio_matrix_parity(mode):
     """Every supported subsampling + gray decodes bit-exactly on-device,
     including non-square dims and a partial final restart segment."""
@@ -103,6 +107,7 @@ def test_ratio_matrix_parity(mode):
     assert np.array_equal(out[0], ref[0]) and np.array_equal(out[1], ref[0])
 
 
+@pytest.mark.slow
 def test_mesh_sharded_decode_parity():
     """Segment lanes shard over the mesh batch axis; output must be
     bit-identical to the unsharded path on the virtual 8-device mesh."""
@@ -131,6 +136,7 @@ def test_mesh_lane_mismatch_raises():
         DeviceJpegDecoder(mesh=mesh).decode_coefficients(plan)
 
 
+@pytest.mark.slow
 def test_corrupt_stream_flags_not_ok():
     """Flipping entropy bytes must trip the integrity check (ok=False) or
     raise at destuff time - never return silently wrong pixels as ok."""
@@ -151,6 +157,7 @@ def test_corrupt_stream_flags_not_ok():
         assert not bool(ok)
 
 
+@pytest.mark.slow
 def test_huge_restart_interval():
     """The pass-1 step ceiling is derived from the longest segment, so a
     large-DRI dense image must still decode (found by review: a fixed
@@ -173,6 +180,7 @@ def test_huge_restart_interval():
     assert np.array_equal(np.asarray(img)[0], ref[0])
 
 
+@pytest.mark.slow
 def test_production_unroll_config(restart_jpeg):
     """The wide production unrolls (k=12/k1=16, pass-1 window 8 words)
     must decode identically to the test-default narrow unrolls — the

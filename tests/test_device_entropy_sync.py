@@ -19,15 +19,21 @@ from zpix_tpu.parallel.device_entropy_sync import (
     prep_batch_sync,
 )
 
+slow = pytest.mark.slow
+
+# The default run keeps one representative per decode shape (no-restart
+# color, 4:2:0, gray-with-declared-2x2); the full subsampling matrix runs
+# with ZPIX_SLOW=1 (each case costs ~20 s of XLA:CPU compile on the dev
+# host).
 CORPUS = [
     "video-001.jpeg",
-    "video-001.q50.410.jpeg",
-    "video-001.q50.411.jpeg",
+    pytest.param("video-001.q50.410.jpeg", marks=slow),
+    pytest.param("video-001.q50.411.jpeg", marks=slow),
     "video-001.q50.420.jpeg",
-    "video-001.q50.422.jpeg",
-    "video-001.q50.440.jpeg",
-    "video-001.q50.444.jpeg",
-    "video-005.gray.q50.jpeg",
+    pytest.param("video-001.q50.422.jpeg", marks=slow),
+    pytest.param("video-001.q50.440.jpeg", marks=slow),
+    pytest.param("video-001.q50.444.jpeg", marks=slow),
+    pytest.param("video-005.gray.q50.jpeg", marks=slow),
     "video-005.gray.q50.2x2.jpeg",  # gray must ignore declared 2x2 sampling
 ]
 
