@@ -1166,13 +1166,9 @@ def _merged_backend(plan: ScanPlan, coeffs):
         return y
     hf = plan.hv[0][0] // plan.hv[1][0]
     vf = plan.hv[0][1] // plan.hv[1][1]
-    cb = bar(upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width))
-    cr = bar(upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width))
-    if _stop == "ups":  # debug/profiling: planes + upsample, no color
-        return cb
-    r, g, b = (bar(c) for c in ycbcr_to_rgb8_jnp(y, cb, cr))
-    if _stop == "rgbr":  # debug/profiling: full color math, no stack
-        return r
+    cb = upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width)
+    cr = upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width)
+    r, g, b = ycbcr_to_rgb8_jnp(y, cb, cr)
     return jnp.stack([r, g, b], axis=-1)
 
 
