@@ -262,3 +262,20 @@ def test_dryrun_multichip():
 
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[0].shape[0]
+
+
+@pytest.mark.parametrize("depth,rel", PNG_BATCH_CASES)
+def test_batch_png_device_defilter_parity(testdata, depth, rel):
+    """The on-chip wavefront defilter (ops/defilter.py) must reproduce
+    the golden-validated host decode byte-for-byte on the full depth
+    matrix (reference filter semantics decoder.zig:806-842)."""
+    from zpix_tpu.codecs import png as png_codec
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    with open(os.path.join(testdata, rel), "rb") as f:
+        data = f.read()
+    host = png_codec.decode(data)
+    out = np.asarray(BatchPngDecoder(device_defilter=True).decode([data] * 2))
+    want = host.rgba_pixels().reshape(host.height, host.width, 4)
+    assert np.array_equal(out[0], want)
+    assert np.array_equal(out[1], want)

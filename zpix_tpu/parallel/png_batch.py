@@ -191,14 +191,47 @@ def _expand_lowbit_palette(rows, palette, *, width, depth):
     return palette[batch_idx, idx]
 
 
-class BatchPngDecoder:
-    """Same-shape batched PNG -> device RGBA8 [B, H, W, 4]."""
+def _expand_graph(cd: str, rows, palette, *, width: int):
+    """Shared expansion dispatch: defiltered rows -> RGBA8 device graph."""
+    if cd == "tc8":
+        return _expand_tc8(rows)
+    if cd == "tca8":
+        return _expand_tca8(rows)
+    if cd == "g8":
+        return _expand_g8(rows)
+    if cd == "g16":
+        return _expand_g16(rows, width=width)
+    if cd == "tc16":
+        return _expand_tc16(rows, width=width)
+    if cd == "tca16":
+        return _expand_tca16(rows, width=width)
+    if cd == "ga8":
+        return _expand_ga8(rows, width=width)
+    if cd == "ga16":
+        return _expand_ga16(rows, width=width)
+    if cd in ("g1", "g2", "g4"):
+        return _expand_lowbit_gray(rows, width=width, depth=int(cd[1]))
+    if cd == "p8":
+        return _expand_p8(rows, palette)
+    return _expand_lowbit_palette(rows, palette, width=width, depth=int(cd[1]))
 
-    def __init__(self, mesh=None, n_threads: int | None = None):
+
+class BatchPngDecoder:
+    """Same-shape batched PNG -> device RGBA8 [B, H, W, 4].
+
+    device_defilter=True moves the per-row filter recurrence onto the
+    chip too (ops/defilter.py wavefront scan, exact) — the host then
+    only inflates; filtered bytes upload unchanged in size."""
+
+    def __init__(self, mesh=None, n_threads: int | None = None,
+                 device_defilter: bool | None = None):
         import os
 
         self.mesh = mesh
         self.n_threads = n_threads or (os.cpu_count() or 2)
+        if device_defilter is None:
+            device_defilter = os.environ.get("ZPIX_DEVICE_DEFILTER", "0") == "1"
+        self.device_defilter = device_defilter
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -246,6 +279,44 @@ class BatchPngDecoder:
         row_bytes = (bpp_bits * st0.width + 7) // 8
         h = st0.height
 
+        # Paletted: stack palettes (may differ per image).  tRNS entries are
+        # non-premultiplied (PALETTE_NRGBA); fold the premultiply into the
+        # gather table so the device output matches rgba_pixels exactly
+        # (image/model.py palette_rgba16, truncated to 8 bit).
+        pal_dev = None
+        if cd.startswith("p"):
+            pal = np.zeros((len(parsed), 256, 4), np.uint8)
+            for i, (st, _) in enumerate(parsed):
+                p = st.palette.astype(np.uint32)
+                is_n = st.palette_kinds == PALETTE_NRGBA
+                a = p[:, 3:4]
+                wide = p[:, :3] | (p[:, :3] << 8)
+                pre = np.where(is_n[:, None], ((wide * a) // 0xFF) >> 8, p[:, :3])
+                pal[i, : len(p), :3] = pre
+                pal[i, : len(p), 3] = p[:, 3]
+            pal_dev = self._shard(pal)
+
+        if self.device_defilter:
+            # Filter bytes stay in the upload (same byte count); defilter
+            # + expansion run as ONE device graph (ops/defilter.py).
+            from ..ops.defilter import defilter_jnp
+
+            stacked = np.stack([
+                np.frombuffer(p[1], np.uint8)[: h * (row_bytes + 1)].reshape(
+                    h, row_bytes + 1
+                )
+                for p in parsed
+            ])
+            ftypes = self._shard(np.ascontiguousarray(stacked[:, :, 0]))
+            raw_rows = self._shard(np.ascontiguousarray(stacked[:, :, 1:]))
+
+            def fused(rows, ft, palette):
+                dec = defilter_jnp(rows, ft, bpp=bpp)
+                return _expand_graph(cd, dec, palette, width=st0.width)
+
+            fn = _jit(f"png_dev_{cd}_{bpp}_{st0.width}", fused)
+            return fn(raw_rows, ftypes, pal_dev)
+
         lib = runtime.get_lib()
         outs = np.empty((len(datas), h, row_bytes), np.uint8)
         if lib is not None:
@@ -268,44 +339,6 @@ class BatchPngDecoder:
                 outs[i] = defilter(raw, h, row_bytes, bpp)
 
         rows = self._shard(outs)
-        if cd == "tc8":
-            return _jit("png_tc8", _expand_tc8)(rows)
-        if cd == "tca8":
-            return _jit("png_tca8", _expand_tca8)(rows)
-        if cd == "g8":
-            return _jit("png_g8", _expand_g8)(rows)
-        if cd == "g16":
-            return _jit("png_g16", _expand_g16, ("width",))(rows, width=st0.width)
-        if cd == "tc16":
-            return _jit("png_tc16", _expand_tc16, ("width",))(rows, width=st0.width)
-        if cd == "tca16":
-            return _jit("png_tca16", _expand_tca16, ("width",))(rows, width=st0.width)
-        if cd == "ga8":
-            return _jit("png_ga8", _expand_ga8, ("width",))(rows, width=st0.width)
-        if cd == "ga16":
-            return _jit("png_ga16", _expand_ga16, ("width",))(rows, width=st0.width)
-        if cd in ("g1", "g2", "g4"):
-            depth = int(cd[1])
-            return _jit("png_glow", _expand_lowbit_gray, ("width", "depth"))(
-                rows, width=st0.width, depth=depth
-            )
-        # Paletted: stack palettes (may differ per image).  tRNS entries are
-        # non-premultiplied (PALETTE_NRGBA); fold the premultiply into the
-        # gather table so the device output matches rgba_pixels exactly
-        # (image/model.py palette_rgba16, truncated to 8 bit).
-        pal = np.zeros((len(parsed), 256, 4), np.uint8)
-        for i, (st, _) in enumerate(parsed):
-            p = st.palette.astype(np.uint32)
-            is_n = st.palette_kinds == PALETTE_NRGBA
-            a = p[:, 3:4]
-            wide = p[:, :3] | (p[:, :3] << 8)
-            pre = np.where(is_n[:, None], ((wide * a) // 0xFF) >> 8, p[:, :3])
-            pal[i, : len(p), :3] = pre
-            pal[i, : len(p), 3] = p[:, 3]
-        pal_dev = self._shard(pal)
-        if cd == "p8":
-            return _jit("png_p8", _expand_p8)(rows, pal_dev)
-        depth = int(cd[1])
-        return _jit("png_plow", _expand_lowbit_palette, ("width", "depth"))(
-            rows, pal_dev, width=st0.width, depth=depth
-        )
+        fn = _jit(f"png_host_{cd}_{st0.width}",
+                  lambda r, p: _expand_graph(cd, r, p, width=st0.width))
+        return fn(rows, pal_dev)
