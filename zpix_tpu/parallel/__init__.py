@@ -16,6 +16,7 @@ from .device_entropy import DeviceJpegDecoder
 from .device_entropy_sync import SyncJpegDecoder
 from .png_batch import BatchPngDecoder
 from .qoi_batch import BatchQoiDecoder
+from .progressive import DeviceProgressiveDecoder
 
 __all__ = [
     "make_mesh",
@@ -23,6 +24,7 @@ __all__ = [
     "BatchJpegDecoder",
     "BatchPngDecoder",
     "BatchQoiDecoder",
+    "DeviceProgressiveDecoder",
     "DeviceJpegDecoder",
     "SyncJpegDecoder",
     "decode_batch_ycbcr_to_rgb",
