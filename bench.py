@@ -39,9 +39,12 @@ def make_digest():
     @jax.jit
     def step(acc, out):
         x = out.reshape(-1).astype(jnp.uint32)
-        w = (
-            jnp.arange(x.size, dtype=jnp.uint32) * jnp.uint32(2654435761)
-        ) % jnp.uint32(65521)
+        # Position weights: multiply by an odd constant is a bijection
+        # mod 2^32, so every element position gets a distinct weight and
+        # any content change moves the checksum.  (An earlier % 65521
+        # made this an integer division over the whole output per step —
+        # measurable timing overhead for zero extra honesty.)
+        w = jnp.arange(x.size, dtype=jnp.uint32) * jnp.uint32(2654435761)
         return acc * jnp.uint32(16777619) + jnp.sum(x * w, dtype=jnp.uint32)
 
     return step

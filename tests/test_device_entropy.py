@@ -191,3 +191,20 @@ def test_production_unroll_config(restart_jpeg):
     assert bool(ok)
     ref = np.asarray(BatchJpegDecoder().decode([restart_jpeg]))
     assert np.array_equal(np.asarray(img)[0], ref[0])
+
+
+def test_mesh_packed_decode_parity():
+    """The single-buffer (packed) upload must compose with the mesh:
+    per-device [stream ++ local offsets] rows under shard_map, bit-equal
+    to both the unsharded packed path and the 3-array mesh path."""
+    from zpix_tpu.parallel import make_mesh
+
+    data = _synth_jpeg(w=256, h=128)
+    datas = [data] * 8
+    mesh = make_mesh()
+    packed = DeviceJpegDecoder(mesh=mesh, packed=True)
+    plain = DeviceJpegDecoder()
+    out_p, ok_p = packed.decode(datas)
+    out_u, ok_u = plain.decode(datas)
+    assert bool(ok_p) and bool(ok_u)
+    assert np.array_equal(np.asarray(out_p), np.asarray(out_u))

@@ -69,6 +69,11 @@ VARIANTS = {
     # uint8 stage-boundary optimization barriers in the SoA back-end
     "bar": dict(packed=True, _prefetch=True, soa_barriers=True),
     "nobar": dict(packed=True, _prefetch=True, soa_barriers=False),
+    # batch size (per-variant plans; default BENCH_BATCH)
+    "b24": dict(packed=True, _prefetch=True, _batch=24),
+    "b32": dict(packed=True, _prefetch=True, _batch=32),
+    "b32planar": dict(packed=True, _prefetch=True, _batch=32, planar=True),
+    "planb16": dict(packed=True, _prefetch=True, planar=True),
 }
 
 
@@ -86,16 +91,17 @@ def main():
     names = os.environ.get("AB_VARIANTS", "packed,3arg").split(",")
     mpix = batch * size * size / 1e6
 
-    dris = sorted(
-        {VARIANTS[n].get("_dri", dri) for n in names}
+    keys = sorted(
+        {(VARIANTS[n].get("_dri", dri), VARIANTS[n].get("_batch", batch))
+         for n in names}
     )
     t0 = time.perf_counter()
-    plans_by_dri = {}
-    for d in dris:
-        pools = make_pools(trials * steps, batch, size, dri_blocks=d)
-        plans_by_dri[d] = [prep_batch(p) for p in pools]
+    plans_by_key = {}
+    for d, b in keys:
+        pools = make_pools(trials * steps, b, size, dri_blocks=d)
+        plans_by_key[(d, b)] = [prep_batch(p) for p in pools]
     print(
-        f"gen+prep {len(dris)}x{trials * steps}x{batch} images: "
+        f"gen+prep {keys} x{trials * steps} images: "
         f"{time.perf_counter() - t0:.0f}s"
     )
 
@@ -104,7 +110,8 @@ def main():
     for name in names:
         cfg = dict(VARIANTS[name])
         prefetch = cfg.pop("_prefetch", False)
-        plans = plans_by_dri[cfg.pop("_dri", dri)]
+        vbatch = cfg.pop("_batch", batch)
+        plans = plans_by_key[(cfg.pop("_dri", dri), vbatch)]
         dec = DeviceJpegDecoder(**cfg)
         fused = dec._fused(plans[0])
 
@@ -122,13 +129,13 @@ def main():
         _ = int(acc)
         assert bool(ok), f"{name}: integrity check failed"
         print(f"{name}: compile+first {time.perf_counter() - tC:.0f}s")
-        setups[name] = (dec, step, prefetch, plans)
+        setups[name] = (dec, step, prefetch, plans, vbatch)
 
     results = {n: [] for n in names}
     for t in range(trials):
         order = names if t % 2 == 0 else names[::-1]
         for name in order:
-            dec, step, prefetch, plans = setups[name]
+            dec, step, prefetch, plans, vbatch = setups[name]
             bufs_list = None
             if prefetch:
                 bufs_list = [
@@ -152,14 +159,15 @@ def main():
     for name in names:
         ts = sorted(results[name])
         best, med = ts[0], ts[len(ts) // 2]
+        vm = setups[name][4] * size * size / 1e6
         print(
             json.dumps(
                 {
                     "variant": name,
                     "best_ms": round(best * 1e3, 1),
-                    "best_mpix_s": round(mpix / best, 1),
+                    "best_mpix_s": round(vm / best, 1),
                     "median_ms": round(med * 1e3, 1),
-                    "median_mpix_s": round(mpix / med, 1),
+                    "median_mpix_s": round(vm / med, 1),
                 }
             )
         )

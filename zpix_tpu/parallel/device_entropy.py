@@ -762,6 +762,7 @@ def build_decode_fn(
     win1_words: int | None = None, packed: bool = False,
     coeff_dtype=None, _stage: int = 2, _raw: bool = False,
     _soa_out: bool = False, split_win: bool | None = None,
+    mesh=None,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -1004,6 +1005,72 @@ def build_decode_fn(
         nm_const[-1] = plan.n_mcu - plan.seg_mcus * (plan.n_segs - 1)
         nm_const = np.tile(nm_const, plan.batch)
 
+        if mesh is not None:
+            # Shard-compatible packed upload: one [ndev, cap + 4*Lc] array
+            # (row d = full stream ++ device d's lane offsets) sharded on
+            # axis 0; each shard entropy-decodes its own lanes via
+            # shard_map — the transfer-efficient form composes with the
+            # mesh (restart segments need no collectives).
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # older spelling
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            if _soa_out or _stage != 2:
+                raise ValueError(
+                    "jpeg: packed+mesh decode emits legacy [L, nblk, 64] "
+                    "coefficients (lane axis leading, for the shard spec)"
+                )
+            ndev = mesh.shape["batch"]
+            if L % ndev:
+                raise ValueError(
+                    f"jpeg: mesh batch axis ({ndev}) must divide the lane "
+                    f"count ({L}); pad the batch"
+                )
+            Lc = L // ndev
+
+            def decode_shard(buf):
+                row = buf[0]
+                stream = row[:cap]
+                pb = row[cap : cap + 4 * Lc].reshape(Lc, 4).astype(jnp.int32)
+                seg_bit_pos = (
+                    pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16)
+                    | (pb[:, 3] << 24)
+                )
+                d = jax.lax.axis_index("batch")
+                nm = jax.lax.dynamic_slice(
+                    jnp.asarray(nm_const), (d * Lc,), (Lc,)
+                )
+                coeffs, ok = decode(stream, seg_bit_pos, nm)
+                return coeffs, ok[None]
+
+            try:
+                sm = _shard_map(
+                    decode_shard, mesh=mesh,
+                    in_specs=P("batch", None),
+                    out_specs=(P("batch"), P("batch")),
+                    check_vma=False,  # per-lane local loop carries start
+                    # as unvarying constants; there is no cross-device
+                    # communication for the checker to validate
+                )
+            except TypeError:  # older jax spelling
+                sm = _shard_map(
+                    decode_shard, mesh=mesh,
+                    in_specs=P("batch", None),
+                    out_specs=(P("batch"), P("batch")),
+                    check_rep=False,
+                )
+
+            def decode_packed_mesh(buf):
+                coeffs, oks = sm(buf)
+                return coeffs, jnp.all(oks)
+
+            if _raw:
+                return decode_packed_mesh
+            return jax.jit(decode_packed_mesh)
+
         def decode_packed(buf):
             import jax.numpy as jnp
 
@@ -1206,11 +1273,10 @@ class DeviceJpegDecoder:
         # TPU-friendly layout (minor dim W, not 3); gray is unaffected
         self.planar = planar
         self.mesh = mesh  # jax.sharding.Mesh with a "batch" axis, or None
-        # one-buffer upload (stream ++ offsets); only the unsharded path
-        # supports it — the mesh path shards the offset arrays over lanes
+        # one-buffer upload (stream ++ offsets).  With a mesh the buffer
+        # becomes [ndev, stream ++ local offsets] sharded on axis 0 and
+        # the entropy pass runs under shard_map (lanes per device).
         self.packed = (mesh is None) if packed is None else packed
-        if self.packed and mesh is not None:
-            raise ValueError("packed upload is single-device only")
         # one-IDCT + uint8-relayout back-end measured ~1 ms SLOWER than
         # the per-component graphs on real TPU (tools/ab_bench.py,
         # 2026-08-18: 26.1 vs 24.7 ms best) — kept A/B-able, off by default
@@ -1248,6 +1314,20 @@ class DeviceJpegDecoder:
                 f"count ({plan.batch} images x {plan.n_segs} segments); "
                 "pad the batch"
             )
+        if self.packed:
+            L = plan.batch * plan.n_segs
+            Lc = L // ndev
+            cap = plan.stream.shape[0]
+            rows = np.empty((ndev, cap + 4 * Lc), np.uint8)
+            rows[:, :cap] = plan.stream
+            rows[:, cap:] = (
+                plan.seg_bit_pos.astype("<i4").view(np.uint8).reshape(ndev, 4 * Lc)
+            )
+            return (
+                jax.device_put(
+                    rows, NamedSharding(self.mesh, P("batch", None))
+                ),
+            )
         repl = NamedSharding(self.mesh, P())
         lanes = NamedSharding(self.mesh, P("batch"))
         return (
@@ -1265,7 +1345,8 @@ class DeviceJpegDecoder:
             fn = build_decode_fn(plan, k_syms=self.k_syms, max_steps=self.max_steps,
                                  win_words=self.win_words, k1_syms=self.k1_syms,
                                  win1_words=self.win1_words,
-                                 packed=self.packed, split_win=self.split_win)
+                                 packed=self.packed, split_win=self.split_win,
+                                 mesh=self.mesh if self.packed else None)
             self._decode_fns[key] = fn
         return fn(*self._put(plan))
 
@@ -1312,13 +1393,18 @@ class DeviceJpegDecoder:
                self.soa_backend, self.planar, self.soa_barriers)
         fn = self._decode_fns.get(key)
         if fn is None:
+            # packed+mesh entropy runs under shard_map and emits legacy
+            # [L, nblk, 64] coefficients; the SoA back-end relayouts those
+            # itself (its coeffs.ndim == 3 branch).
+            packed_mesh = self.packed and self.mesh is not None
             body = build_decode_fn(
                 plan, k_syms=self.k_syms, max_steps=self.max_steps,
                 win_words=self.win_words, k1_syms=self.k1_syms,
                 win1_words=self.win1_words, packed=self.packed,
                 split_win=self.split_win,
                 coeff_dtype=jnp.int32, _raw=True,
-                _soa_out=self.soa_backend,
+                _soa_out=self.soa_backend and not packed_mesh,
+                mesh=self.mesh if self.packed else None,
             )
 
             if self.soa_backend:
