@@ -208,3 +208,62 @@ def test_mesh_packed_decode_parity():
     out_u, ok_u = plain.decode(datas)
     assert bool(ok_p) and bool(ok_u)
     assert np.array_equal(np.asarray(out_p), np.asarray(out_u))
+
+
+def _synth_cmyk(transform=None, w=96, h=80):
+    """PIL CMYK JPEG with restarts; transform patches the Adobe APP14
+    transform byte (0=raw CMYK, 2=YCCK) so both decode arms are testable
+    from one entropy stream."""
+    import io
+
+    from PIL import Image
+
+    rgb = (np.arange(w * h * 3) % 253).astype(np.uint8).reshape(h, w, 3)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).convert("CMYK").save(
+        buf, format="JPEG", quality=75, restart_marker_blocks=4
+    )
+    data = bytearray(buf.getvalue())
+    if transform is not None:
+        at = data.find(b"Adobe")
+        assert at > 0, "PIL CMYK JPEG should carry an Adobe APP14 marker"
+        data[at + 11] = transform  # decoder.zig:682-697 reads body[11]
+    return bytes(data)
+
+
+@pytest.mark.parametrize("transform,label", [(None, "cmyk"), (2, "ycck")])
+def test_onchip_cmyk_ycck_parity(transform, label):
+    """4-component frames decode fully on-chip with host parity through
+    both applyBlack arms (decoder.zig:792-902)."""
+    import zpix_tpu.codecs.jpeg as jpeg_codec
+
+    data = _synth_cmyk(transform)
+    from zpix_tpu.parallel.batch import parse_coefficients
+
+    assert parse_coefficients(data).color == label
+    out, ok = DeviceJpegDecoder().decode([data, data])
+    assert bool(ok)
+    host = jpeg_codec.decode(data)
+    out = np.asarray(out)
+    assert np.array_equal(out[0], host.pix), label
+    assert np.array_equal(out[1], host.pix), label
+
+
+def test_onchip_rgb_parity():
+    """RGB-colorspace JPEG (convertToRGB, decoder.zig:751-783) on-chip."""
+    import io
+
+    import zpix_tpu.codecs.jpeg as jpeg_codec
+    from PIL import Image
+
+    rgb = (np.arange(96 * 80 * 3) % 253).astype(np.uint8).reshape(80, 96, 3)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(
+        buf, format="JPEG", quality=75, keep_rgb=True,
+        restart_marker_blocks=4, subsampling=0,
+    )
+    data = buf.getvalue()
+    out, ok = DeviceJpegDecoder().decode([data])
+    assert bool(ok)
+    host = jpeg_codec.decode(data)
+    assert np.array_equal(np.asarray(out)[0], host.pix[..., :3])

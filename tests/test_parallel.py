@@ -279,3 +279,35 @@ def test_batch_png_device_defilter_parity(testdata, depth, rel):
     want = host.rgba_pixels().reshape(host.height, host.width, 4)
     assert np.array_equal(out[0], want)
     assert np.array_equal(out[1], want)
+
+
+def test_batch_cmyk_ycck_rgb_parity(testdata):
+    """4-component (YCCK/CMYK) and RGB JPEGs decode through the batched
+    device back-end with host parity (applyBlack decoder.zig:792-902,
+    convertToRGB :751-783).  Output channels mirror the host image pix."""
+    import io
+
+    from PIL import Image
+
+    from zpix_tpu.codecs import jpeg as jpeg_codec
+    from zpix_tpu.parallel.batch import BatchJpegDecoder
+
+    cases = ["video-001.cmyk.jpeg"]
+    datas = {}
+    for name in cases:
+        with open(os.path.join(testdata, name), "rb") as f:
+            datas[name] = f.read()
+    # PIL-generated raw CMYK (Adobe transform 0) as a second arm
+    rgb = (np.arange(64 * 48 * 3) % 251).astype(np.uint8).reshape(48, 64, 3)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).convert("CMYK").save(buf, format="JPEG", quality=80)
+    datas["pil-cmyk"] = buf.getvalue()
+    with open(os.path.join(testdata, "video-001.rgb.jpeg"), "rb") as f:
+        datas["video-001.rgb.jpeg"] = f.read()
+
+    for name, data in datas.items():
+        host = jpeg_codec.decode(data)
+        out = np.asarray(BatchJpegDecoder().decode([data] * 2))
+        want = host.pix if out.shape[-1] == 4 else host.pix[..., :3]
+        assert np.array_equal(out[0], want), name
+        assert np.array_equal(out[1], want), name

@@ -71,6 +71,9 @@ VARIANTS = {
     "nobar": dict(packed=True, _prefetch=True, soa_barriers=False),
     # batch size (per-variant plans; default BENCH_BATCH)
     "b24": dict(packed=True, _prefetch=True, _batch=24),
+    "b8planar": dict(packed=True, _prefetch=True, _batch=8, planar=True),
+    "b12planar": dict(packed=True, _prefetch=True, _batch=12, planar=True),
+    "b20planar": dict(packed=True, _prefetch=True, _batch=20, planar=True),
     "b32": dict(packed=True, _prefetch=True, _batch=32),
     "b32planar": dict(packed=True, _prefetch=True, _batch=32, planar=True),
     "planb16": dict(packed=True, _prefetch=True, planar=True),

@@ -27,9 +27,12 @@ from ..ops.ycbcr import upsample_chroma_jnp, ycbcr_to_rgb8_jnp
 class FrontEndResult:
     """Per-image entropy-decode output."""
 
-    __slots__ = ("width", "height", "ratio", "ncomp", "coeffs", "quants", "hv")
+    __slots__ = (
+        "width", "height", "ratio", "ncomp", "coeffs", "quants", "hv", "color"
+    )
 
-    def __init__(self, width, height, ratio, ncomp, coeffs, quants, hv):
+    def __init__(self, width, height, ratio, ncomp, coeffs, quants, hv,
+                 color="ycbcr"):
         self.width = width
         self.height = height
         self.ratio = ratio
@@ -37,15 +40,28 @@ class FrontEndResult:
         self.coeffs = coeffs  # list of [bv, bh, 64] int32 (natural order)
         self.quants = quants  # list of [64] int32 (natural order)
         self.hv = hv  # list of (h, v)
+        # "gray" | "ycbcr" | "rgb" | "ycck" | "cmyk" | "cmyk?" (4-comp with
+        # no Adobe marker: the reference errors, decoder.zig:795-799)
+        self.color = color
 
 
 def parse_coefficients(data: bytes) -> FrontEndResult:
     """Entropy-decode a JPEG to coefficient tensors without reconstructing."""
+    from ..codecs.jpeg.decoder import ADOBE_UNKNOWN
+
     d = Decoder(data)
     d.collect_only = True
     d.decode_inner(False)
     ncomp = d.num_components
     ratio = d._subsample_ratio() if ncomp >= 3 else "gray"
+    if ncomp == 1:
+        color = "gray"
+    elif ncomp == 3:
+        color = "rgb" if d.is_rgb() else "ycbcr"
+    elif not d.adobe_transform_valid:
+        color = "cmyk?"
+    else:
+        color = "cmyk" if d.adobe_transform == ADOBE_UNKNOWN else "ycck"
     coeffs, quants, hv = [], [], []
     for i in range(ncomp):
         coeffs.append(d.coeff[i] if d.coeff[i] is not None else None)
@@ -54,7 +70,9 @@ def parse_coefficients(data: bytes) -> FrontEndResult:
         qnat[UNZIG] = qzig
         quants.append(qnat)
         hv.append((d.component[i].h, d.component[i].v))
-    return FrontEndResult(d.width, d.height, ratio, ncomp, coeffs, quants, hv)
+    return FrontEndResult(
+        d.width, d.height, ratio, ncomp, coeffs, quants, hv, color
+    )
 
 
 def _blocks_to_plane(jnp, blocks):
@@ -107,6 +125,52 @@ def _gray_graph(cy, qy, *, height, width):
     import jax.numpy as jnp
 
     return _component_plane(jnp, cy, qy)[:, :height, :width]
+
+
+def _rgb_graph(cr_, cg, cb_, qr, qg, qb, *, height, width, ratio):
+    """RGB JPEG: interleave the three planes directly (convertToRGB,
+    decoder.zig:751-783), upsampling subsampled G/B with the same
+    replication index math (c_scale)."""
+    import jax.numpy as jnp
+
+    r = _component_plane(jnp, cr_, qr)[:, :height, :width]
+    hf, vf = _RATIO_FACTORS[ratio]
+    g = upsample_chroma_jnp(_component_plane(jnp, cg, qg), hf, vf, height, width)
+    b = upsample_chroma_jnp(_component_plane(jnp, cb_, qb), hf, vf, height, width)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _ycck_graph(cy, ccb, ccr, ck, qy, qcb, qcr, qk, *, height, width, ratio):
+    """YCCK (Adobe transform != unknown): YCbCr -> RGB cancels the Adobe
+    inversion, K patches in inverted (applyBlack, decoder.zig:811-846).
+    Output channels mirror the host CMYKImage: (r, g, b, 255-k)."""
+    import jax.numpy as jnp
+
+    y = _component_plane(jnp, cy, qy)[:, :height, :width]
+    hf, vf = _RATIO_FACTORS[ratio]
+    cb = upsample_chroma_jnp(_component_plane(jnp, ccb, qcb), hf, vf, height, width)
+    cr = upsample_chroma_jnp(_component_plane(jnp, ccr, qcr), hf, vf, height, width)
+    r, g, b = ycbcr_to_rgb8_jnp(y, cb, cr)
+    k = _component_plane(jnp, ck, qk)[:, :height, :width]
+    return jnp.stack([r, g, b, jnp.uint8(255) - k], axis=-1)
+
+
+def _cmyk_graph(c0, c1, c2, c3, q0, q1, q2, q3, *, height, width, sub):
+    """Raw CMYK (Adobe transform == unknown): interleave the four planes
+    with 255-v inversion; `sub[t]` marks 2x2-subsampled components
+    (applyBlack raw arm, decoder.zig:852-901 — the SOF matrix only
+    admits all-1x1 or {2x2,1x1,1x1,2x2}, decoder.zig:595-611)."""
+    import jax.numpy as jnp
+
+    chans = []
+    for coeff, q, s in zip((c0, c1, c2, c3), (q0, q1, q2, q3), sub):
+        p = _component_plane(jnp, coeff, q)
+        if s:
+            p = upsample_chroma_jnp(p, 2, 2, height, width)
+        else:
+            p = p[:, :height, :width]
+        chans.append(jnp.uint8(255) - p)
+    return jnp.stack(chans, axis=-1)
 
 
 _JITTED: dict = {}
@@ -640,15 +704,47 @@ class BatchJpegDecoder:
         )
         f0 = fes[0]
         for fe in fes[1:]:
-            if (fe.width, fe.height, fe.ratio) != (f0.width, f0.height, f0.ratio):
+            if (fe.width, fe.height, fe.ratio, fe.color) != (
+                f0.width, f0.height, f0.ratio, f0.color
+            ):
                 raise ValueError(
-                    "batch images must share (width, height, ratio); "
+                    "batch images must share (width, height, ratio, color); "
                     "bucket mixed shapes separately"
                 )
+        if f0.color == "cmyk?":
+            from ..errors import UnsupportedError
+
+            raise UnsupportedError(
+                "jpeg: unknown color model: 4-component color model"
+            )
         if f0.ncomp == 1:
             cy = self._shard(np.stack([fe.coeffs[0] for fe in fes]))
             qy = self._shard(np.stack([fe.quants[0] for fe in fes]))
             return decode_batch_gray(cy, qy, height=f0.height, width=f0.width)
+        if f0.color in ("rgb", "ycck", "cmyk"):
+            coeffs = [
+                self._shard(np.stack([fe.coeffs[c] for fe in fes]))
+                for c in range(f0.ncomp)
+            ]
+            quants = [
+                self._shard(np.stack([fe.quants[c] for fe in fes]))
+                for c in range(f0.ncomp)
+            ]
+            if f0.color == "rgb":
+                return _jitted("rgb", _rgb_graph, ("height", "width", "ratio"))(
+                    *coeffs, *quants,
+                    height=f0.height, width=f0.width, ratio=f0.ratio,
+                )
+            if f0.color == "ycck":
+                return _jitted("ycck", _ycck_graph, ("height", "width", "ratio"))(
+                    *coeffs, *quants,
+                    height=f0.height, width=f0.width, ratio=f0.ratio,
+                )
+            sub = tuple(hv != f0.hv[0] for hv in f0.hv)
+            return _jitted("cmyk", _cmyk_graph, ("height", "width", "sub"))(
+                *coeffs, *quants,
+                height=f0.height, width=f0.width, sub=sub,
+            )
         qy = self._shard(np.stack([fe.quants[0] for fe in fes]))
         qcb = self._shard(np.stack([fe.quants[1] for fe in fes]))
         qcr = self._shard(np.stack([fe.quants[2] for fe in fes]))

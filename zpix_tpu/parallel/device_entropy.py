@@ -153,6 +153,7 @@ class ScanPlan:
     batch: int
     cache_key: tuple = None  # (geometry, tables, dri) bucket for jit reuse
     packed: np.ndarray = None  # stream ++ seg_bit_pos(LE int32): 1 upload
+    color: str = "ycbcr"  # gray | ycbcr | rgb | ycck | cmyk
 
 
 def _parse_headers(data: bytes):
@@ -247,19 +248,29 @@ def _parse_headers(data: bytes):
             if sof is None:
                 raise FormatError("jpeg: SOS before SOF")
             w, h, nc, comps = sof
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise UnsupportedError(
-                    "jpeg: device decode covers 1- and 3-component frames"
+                    "jpeg: device decode covers 1/3/4-component frames"
                 )
-            # RGB JPEGs (Adobe transform=0 or R/G/B component ids,
-            # decoder.zig:699-709) need convertToRGB, not YCbCr math
+            # Color-space classification (decoder.zig:699-709, :795-809):
+            # RGB = Adobe transform 0 or R/G/B component ids (non-JFIF);
+            # 4-comp = YCCK (Adobe transform != 0) or raw CMYK (== 0);
+            # no Adobe marker on 4-comp is the reference's error case.
             ids = tuple(c[0] for c in comps)
             is_rgb = (not jfif) and (
                 adobe_transform == 0
                 or (adobe_transform is None and ids == (0x52, 0x47, 0x42))
             )
-            if nc == 3 and is_rgb:
-                raise UnsupportedError("jpeg: RGB color space not on-device")
+            if nc == 1:
+                color = "gray"
+            elif nc == 3:
+                color = "rgb" if is_rgb else "ycbcr"
+            elif adobe_transform is None:
+                raise UnsupportedError(
+                    "jpeg: unknown color model: 4-component color model"
+                )
+            else:
+                color = "cmyk" if adobe_transform == 0 else "ycck"
             if nc == 3:
                 (h0, v0), (h1, v1), (h2, v2) = (
                     (c[1], c[2]) for c in comps
@@ -274,7 +285,14 @@ def _parse_headers(data: bytes):
                     raise UnsupportedError(
                         f"jpeg: unsupported sampling {h0}{v0}:{h1}{v1}:{h2}{v2}"
                     )
-            return sof, quants, huffs, dri, tuple(sel), scan_start
+            if nc == 4:
+                hvs = tuple((c[1], c[2]) for c in comps)
+                if hvs not in (((1, 1),) * 4, ((2, 2), (1, 1), (1, 1), (2, 2))):
+                    # the reference's 4-component matrix, decoder.zig:595-611
+                    raise UnsupportedError(
+                        "jpeg: unsupported 4-component sampling"
+                    )
+            return sof, quants, huffs, dri, tuple(sel), scan_start, color
         pos += seg_len
     raise FormatError("jpeg: no SOS")
 
@@ -318,7 +336,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
     first = None
     streams, seg_pos_all, seg_nmcu_all = [], [], []
     for data in datas:
-        sof, quants, huffs, dri, sel, scan_start = _parse_headers(data)
+        sof, quants, huffs, dri, sel, scan_start, color = _parse_headers(data)
         w, h, nc, comps = sof
         if dri <= 0:
             raise UnsupportedError(
@@ -327,16 +345,16 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         key = (sof, tuple(q.tobytes() if q is not None else None for q in quants),
                tuple(sorted((k, t.num_codes, tuple(t.vals), tuple(t.min_codes),
                              tuple(t.max_codes), tuple(t.vals_indices))
-                            for k, t in huffs.items())), dri, tuple(sel))
+                            for k, t in huffs.items())), dri, tuple(sel), color)
         if first is None:
-            first = (key, sof, quants, huffs, dri, sel)
+            first = (key, sof, quants, huffs, dri, sel, color)
         elif key != first[0]:
             raise UnsupportedError("jpeg: batch must share geometry and tables")
         stream, seg_starts = _destuff(data, scan_start)
         streams.append(stream)
         seg_pos_all.append(seg_starts)
 
-    _, sof, quants, huffs, dri, sel = first
+    _, sof, quants, huffs, dri, sel, color = first
     w, h, nc, comps = sof
     h0, v0 = comps[0][1], comps[0][2]
     mxx = (w + 8 * h0 - 1) // (8 * h0)
@@ -393,7 +411,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
     seg_n_mcu = np.tile(nm, len(datas)).astype(np.int32)
 
     ratio = "gray"
-    if nc == 3:
+    if nc >= 3:
         hr = comps[0][1] // comps[1][1]
         vr = comps[0][2] // comps[1][2]
         ratio = {0x11: "444", 0x12: "440", 0x21: "422",
@@ -415,7 +433,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         stream=flat, seg_bit_pos=seg_bit_pos, seg_n_mcu=seg_n_mcu,
         max_seg_bits=max_seg_bits, batch=len(datas),
         cache_key=(first[0], len(datas), max_seg_bits),
-        packed=packed,
+        packed=packed, color=color,
     )
 
 
@@ -1176,6 +1194,24 @@ def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False,
         return y
     hf = plan.hv[0][0] // plan.hv[1][0]
     vf = plan.hv[0][1] // plan.hv[1][1]
+    if plan.color == "rgb":
+        # convertToRGB (decoder.zig:751-783): planes interleave directly
+        g = bar(upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width))
+        b = bar(upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width))
+        chans = [y, g, b]
+        return jnp.stack(chans, axis=1 if planar else -1)
+    if plan.ncomp == 4 and plan.color == "cmyk":
+        # raw CMYK (decoder.zig:852-901): 255-v interleave, 2x2 upsample
+        # for subsampled components
+        chans = []
+        for c in range(4):
+            p = planes[c]
+            if plan.hv[c] != plan.hv[0]:
+                p = upsample_chroma_jnp(p, 2, 2, plan.height, plan.width)
+            else:
+                p = p[:, : plan.height, : plan.width]
+            chans.append(bar(jnp.uint8(255) - p))
+        return jnp.stack(chans, axis=1 if planar else -1)
     cb = bar(upsample_chroma_jnp(planes[1], hf, vf, plan.height, plan.width))
     cr = bar(upsample_chroma_jnp(planes[2], hf, vf, plan.height, plan.width))
     if _stop == "ups":  # debug/profiling: planes + upsample, no color
@@ -1183,6 +1219,10 @@ def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False,
     r, g, b = (bar(c) for c in ycbcr_to_rgb8_jnp(y, cb, cr))
     if _stop == "rgbr":  # debug/profiling: full color math, no stack
         return r
+    if plan.ncomp == 4:  # YCCK (applyBlack, decoder.zig:811-846)
+        k = planes[3][:, : plan.height, : plan.width]
+        chans = [r, g, b, bar(jnp.uint8(255) - k)]
+        return jnp.stack(chans, axis=1 if planar else -1)
     if planar:
         # [B, 3, H, W]: W stays the minor dim.  An interleaved
         # [B, H, W, 3] device tensor tiles its minor dim of 3 up to the
@@ -1357,8 +1397,6 @@ class DeviceJpegDecoder:
         key = plan.cache_key
         fn = self._backend_fns.get(key)
         if fn is None:
-            from .batch import _gray_graph, _ycbcr_graph
-
             quants = [
                 jnp.asarray(np.stack([plan.quants[c]] * plan.batch))
                 for c in range(plan.ncomp)
@@ -1366,16 +1404,8 @@ class DeviceJpegDecoder:
 
             @jax.jit
             def run(coeffs):
-                g = coefficients_to_grids(plan, coeffs)
-                if plan.ncomp == 1:
-                    return _gray_graph(
-                        g[0].astype(jnp.int32), quants[0],
-                        height=plan.height, width=plan.width,
-                    )
-                return _ycbcr_graph(
-                    g[0].astype(jnp.int32), g[1].astype(jnp.int32),
-                    g[2].astype(jnp.int32), *quants,
-                    height=plan.height, width=plan.width, ratio=plan.ratio,
+                return _grids_graph(
+                    plan, coefficients_to_grids(plan, coeffs), quants
                 )
 
             fn = run
@@ -1423,8 +1453,6 @@ class DeviceJpegDecoder:
                     return _merged_backend(plan, coeffs), ok
 
             else:
-                from .batch import _gray_graph, _ycbcr_graph
-
                 quants = [
                     np.stack([plan.quants[c]] * plan.batch)
                     for c in range(plan.ncomp)
@@ -1432,20 +1460,10 @@ class DeviceJpegDecoder:
 
                 def fused(*args):
                     coeffs, ok = body(*args)
-                    g = coefficients_to_grids(plan, coeffs)
-                    if plan.ncomp == 1:
-                        rgb = _gray_graph(
-                            g[0].astype(jnp.int32), jnp.asarray(quants[0]),
-                            height=plan.height, width=plan.width,
-                        )
-                    else:
-                        rgb = _ycbcr_graph(
-                            g[0].astype(jnp.int32), g[1].astype(jnp.int32),
-                            g[2].astype(jnp.int32),
-                            *(jnp.asarray(q) for q in quants),
-                            height=plan.height, width=plan.width,
-                            ratio=plan.ratio,
-                        )
+                    rgb = _grids_graph(
+                        plan, coefficients_to_grids(plan, coeffs),
+                        [jnp.asarray(q) for q in quants],
+                    )
                     return rgb, ok
 
             fn = jax.jit(fused)
@@ -1460,6 +1478,29 @@ class DeviceJpegDecoder:
         """
         plan = prep_batch(datas)
         return self._fused(plan)(*self._put(plan))
+
+
+def _grids_graph(plan: ScanPlan, grids, quants):
+    """Dense back-end over per-component grids, dispatched by color space
+    (gray/YCbCr/RGB/YCCK/CMYK — decoder.zig:361-370 post-scan routing)."""
+    import jax.numpy as jnp
+
+    from .batch import (
+        _cmyk_graph, _gray_graph, _rgb_graph, _ycbcr_graph, _ycck_graph,
+    )
+
+    g = [x.astype(jnp.int32) for x in grids]
+    kw = dict(height=plan.height, width=plan.width)
+    if plan.ncomp == 1:
+        return _gray_graph(g[0], quants[0], **kw)
+    if plan.color == "rgb":
+        return _rgb_graph(*g, *quants, ratio=plan.ratio, **kw)
+    if plan.color == "ycck":
+        return _ycck_graph(*g, *quants, ratio=plan.ratio, **kw)
+    if plan.color == "cmyk":
+        sub = tuple(hv != plan.hv[0] for hv in plan.hv)
+        return _cmyk_graph(*g, *quants, sub=sub, **kw)
+    return _ycbcr_graph(*g, *quants, ratio=plan.ratio, **kw)
 
 
 def coefficients_to_grids(plan: ScanPlan, coeffs):

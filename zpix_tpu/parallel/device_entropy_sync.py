@@ -88,7 +88,12 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
     first = None
     streams = []
     for data in datas:
-        sof, quants, huffs, dri, sel, scan_start = _parse_headers(data)
+        sof, quants, huffs, dri, sel, scan_start, color = _parse_headers(data)
+        if color not in ("gray", "ycbcr"):
+            raise UnsupportedError(
+                f"jpeg: sync decoder covers gray/YCbCr, not {color}; "
+                "use DeviceJpegDecoder (restart streams) or the host path"
+            )
         key = (sof, tuple(q.tobytes() if q is not None else None for q in quants),
                tuple(sorted((k, t.num_codes, tuple(t.vals), tuple(t.min_codes),
                              tuple(t.max_codes), tuple(t.vals_indices))
