@@ -212,11 +212,17 @@ def main_onchip(batch: int, size: int, steps: int):
         if staged
         else ""
     )
+    bpp_link = plan0.packed.nbytes / (batch * size * size)
     print(
         f"# on-chip entropy path | dri={dri} batch={batch} size={size} "
-        f"steps={steps} backend={jax.devices()[0].platform}{extra}",
+        f"steps={steps} backend={jax.devices()[0].platform} "
+        f"| link {bpp_link:.3f} B/px{extra}",
         file=sys.stderr,
     )
+    from zpix_tpu.utils import metrics
+
+    for line in metrics.report().splitlines():
+        print(f"# {line}", file=sys.stderr)
     return mpix_s
 
 

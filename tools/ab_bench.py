@@ -77,6 +77,14 @@ VARIANTS = {
     "b32": dict(packed=True, _prefetch=True, _batch=32),
     "b32planar": dict(packed=True, _prefetch=True, _batch=32, planar=True),
     "planb16": dict(packed=True, _prefetch=True, planar=True),
+    "k24w8planar": dict(packed=True, _prefetch=True, planar=True,
+                        k_syms=24, win_words=8),
+    "k32w10planar": dict(packed=True, _prefetch=True, planar=True,
+                         k_syms=32, win_words=10),
+    "k12w4planar": dict(packed=True, _prefetch=True, planar=True,
+                        k_syms=12, win_words=4),
+    # split16 value-pass store (int16 AC + int32 DC row)
+    "i16planar": dict(packed=True, _prefetch=True, planar=True, i16=True),
 }
 
 

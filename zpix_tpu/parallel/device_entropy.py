@@ -53,6 +53,9 @@ _DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", "8"))
 # per-word gather costs like a full row gather, so W of them multiply
 # the dominant primitive.  Default stays 0 (one [L, W] row gather).
 _DEF_SPLIT_WIN = os.environ.get("ZPIX_ONCHIP_SPLIT_WIN", "0") == "1"
+# split16 value-pass store: int16 AC + separate int32 DC row (halves the
+# hot [64, L2] while-loop carry traffic; exact — AC extend <= 15 bits)
+_DEF_I16 = os.environ.get("ZPIX_ONCHIP_I16", "0") == "1"
 # uint8 stage-boundary optimization barriers in the SoA back-end
 _DEF_SOA_BARRIERS = os.environ.get("ZPIX_SOA_BARRIERS", "1") == "1"
 
@@ -576,7 +579,7 @@ def _merge_masks(jnp, first, mt_a, mt_b, ntab):
 
 
 def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
-                k_syms, dc_set=None, ac_set=None):
+                k_syms, dc_set=None, ac_set=None, split16=False):
     """Shared value pass: one lane per 8x8 block at a known bit offset.
 
     Decodes DC diff + AC run-length coefficients into NATURAL-order
@@ -628,7 +631,11 @@ def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
     invT = jnp.asarray(inv)[:, None]  # zigzag index of natural position p
 
     def body2(st):
-        (bit_pos, curT, k, done, err, steps) = st
+        if split16:
+            (bit_pos, curT, dcv, k, done, err, steps) = st
+        else:
+            (bit_pos, curT, k, done, err, steps) = st
+            dcv = None
         first = steps == 0
         byte = jnp.clip(bit_pos >> 3, 0, n - 1)
         w = fetch(byte)
@@ -674,7 +681,24 @@ def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
             # happens ONCE per step below (a per-symbol one-hot emission
             # costs a separate wide kernel each — ~50 us per symbol slot
             # regardless of lane count, and dominated the whole decode)
-            emits.append((jnp.where(app & ac_coef, ext, 0), emit_k))
+            if split16 and si == 0:
+                # split16: the DC diff (up to 16 extend bits, may exceed
+                # int16) rides its own int32 row; the int16 store carries
+                # AC only (15 extend bits max -> fits exactly)
+                dcv = jnp.where(first & app, ext, dcv)
+                emits.append((
+                    jnp.where(app & ac_coef & ~is_dc, ext, 0).astype(
+                        jnp.int16
+                    ),
+                    emit_k,
+                ))
+            elif split16:
+                emits.append(
+                    (jnp.where(app & ac_coef, ext, 0).astype(jnp.int16),
+                     emit_k)
+                )
+            else:
+                emits.append((jnp.where(app & ac_coef, ext, 0), emit_k))
             k = jnp.where(app, new_k, k)
             off = jnp.where(app, off + consume, off)
             err = err | bad
@@ -682,29 +706,34 @@ def _value_pass(jax, jnp, *, win, cmp, n, starts, done0, tid_dc2, tid_ac2,
         # emission position k is a ZIGZAG index; comparing against the
         # zigzag-index-of-natural-position constant writes natural order
         # directly (same op count as comparing against arange)
+        zero = jnp.int16(0) if split16 else 0
         curT = curT + sum(
-            jnp.where(ek[None, :] == invT, ev[None, :], 0) for ev, ek in emits
+            jnp.where(ek[None, :] == invT, ev[None, :], zero)
+            for ev, ek in emits
         )  # one read-modify-write of curT per step
         bit_pos = bit_pos - off0 + off
+        if split16:
+            return (bit_pos, curT, dcv, k, done, err, steps + 1)
         return (bit_pos, curT, k, done, err, steps + 1)
+
+    di = 1 if split16 else 0
 
     def cond2(st):
         # a block holds <= 64 symbols and every step decodes >= 1
-        n_done = jnp.sum(st[3].astype(jnp.int32))
-        return (n_done < st[3].shape[0]) & (st[5] < 81)
+        n_done = jnp.sum(st[3 + di].astype(jnp.int32))
+        return (n_done < st[3 + di].shape[0]) & (st[5 + di] < 81)
 
-    return jax.lax.while_loop(
-        cond2,
-        body2,
-        (
-            starts,
-            jnp.zeros((64, L2), jnp.int32),
-            jnp.zeros(L2, jnp.int32),
-            done0,
-            jnp.zeros(L2, bool),
-            jnp.int32(0),
-        ),
-    )
+    init = [
+        starts,
+        jnp.zeros((64, L2), jnp.int16 if split16 else jnp.int32),
+        jnp.zeros(L2, jnp.int32),
+        done0,
+        jnp.zeros(L2, bool),
+        jnp.int32(0),
+    ]
+    if split16:
+        init.insert(2, jnp.zeros(L2, jnp.int32))  # dcv
+    return jax.lax.while_loop(cond2, body2, tuple(init))
 
 
 def _restore_dc_and_reorder(jnp, cur, *, groups, n_mcu_grp, bpm, hv, ncomp,
@@ -774,13 +803,31 @@ def _restore_dc_T(jnp, curT, *, groups, n_mcu_grp, bpm, hv, ncomp):
     return curT + corr[None, :] * one0
 
 
+def _restore_dc_T_split(jnp, dcv, *, groups, n_mcu_grp, bpm, hv, ncomp):
+    """DC-predictor restore for the split16 store: only the dedicated
+    int32 DC row is touched (the [64, L2] int16 AC store is not re-read),
+    same chain semantics as _restore_dc_T."""
+    dc = dcv.reshape(bpm, groups, n_mcu_grp)
+    parts = []
+    s0 = 0
+    for c in range(ncomp):
+        nbc = hv[c][0] * hv[c][1]
+        d = dc[s0 : s0 + nbc]
+        tot = d.sum(axis=0)
+        base = jnp.cumsum(tot, axis=1) - tot
+        partial = jnp.cumsum(d, axis=0) - d
+        parts.append(base[None] + partial)
+        s0 += nbc
+    return dcv + jnp.concatenate(parts, axis=0).reshape(-1)
+
+
 def build_decode_fn(
     plan: ScanPlan, *, k_syms: int | None = None, max_steps: int | None = None,
     win_words: int | None = None, k1_syms: int | None = None,
     win1_words: int | None = None, packed: bool = False,
     coeff_dtype=None, _stage: int = 2, _raw: bool = False,
     _soa_out: bool = False, split_win: bool | None = None,
-    mesh=None,
+    mesh=None, i16: bool | None = None,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -830,6 +877,9 @@ def build_decode_fn(
     k1 = k1_syms if k1_syms is not None else _DEF_K1
     if split_win is None:
         split_win = _DEF_SPLIT_WIN
+    if i16 is None:
+        i16 = _DEF_I16
+    i16 = bool(i16) and _soa_out and _stage == 2
     if max_steps is None:
         # every pass-1 step consumes >= min(k1 symbols of >= 2 bits,
         # the window capacity) or finishes the lane, so the longest
@@ -978,7 +1028,9 @@ def build_decode_fn(
             jax, jnp, win=win, cmp=cmp, n=n, starts=starts,
             done0=~valid, tid_dc2=tid_dc2, tid_ac2=tid_ac2, k_syms=k_syms,
             dc_set=set(tid_of_slot_dc), ac_set=set(tid_of_slot_ac),
+            split16=i16,
         )
+        di = 1 if i16 else 0
         curT = st2[1]  # [64, L2] slot-major lanes
 
         def to_legacy(cT):
@@ -993,14 +1045,21 @@ def build_decode_fn(
         agree = (st2[0] == to_sm(ends)) | ~valid
         ok = (
             ok1
-            & jnp.all(st2[3])
-            & ~jnp.any(st2[4] & valid)
+            & jnp.all(st2[3 + di])
+            & ~jnp.any(st2[4 + di] & valid)
             & jnp.all(agree)
         )
         if _stage == 17:  # debug: + integrity check
             return to_legacy(curT).astype(jnp.int16), ok
 
         if _soa_out:
+            if i16:
+                # (int32 DC row with predictors restored, int16 AC store)
+                dcrow = _restore_dc_T_split(
+                    jnp, st2[2], groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
+                    hv=plan.hv, ncomp=plan.ncomp,
+                )
+                return (dcrow, curT), ok
             # lane-minor store straight into the SoA back-end: DC fix is
             # a broadcast add; no [L2, 64]-major relayout anywhere
             return _restore_dc_T(
@@ -1143,7 +1202,12 @@ def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False,
 
     B, mxx, myy, bpm = plan.batch, plan.mxx, plan.myy, plan.bpm
     m_pad = plan.n_segs * plan.seg_mcus  # >= n_mcu (last segment padding)
-    if coeffs.ndim == 2:  # [64, bpm*B*m_pad] slot-major lanes (_soa_out)
+    dc_row = None
+    if isinstance(coeffs, tuple):  # split16: (int32 DC row, int16 AC store)
+        dcv, ac16 = coeffs
+        dc_row = dcv.reshape(bpm, B, m_pad)
+        xt = ac16.reshape(64, bpm, B, m_pad)
+    elif coeffs.ndim == 2:  # [64, bpm*B*m_pad] slot-major lanes (_soa_out)
         xt = coeffs.reshape(64, bpm, B, m_pad).astype(jnp.int32)
     else:  # legacy [L1, nblk, 64] (slot minor): one int32 relayout
         x = coeffs.reshape(B, m_pad, bpm, 64).astype(jnp.int32)
@@ -1157,8 +1221,11 @@ def _soa_backend(plan: ScanPlan, coeffs, planar: bool = False,
         # cols[p]: [nb, B, m_pad] int32, a contiguous major-axis view;
         # dequant is a scalar-constant multiply (decoder.zig:1564-1567)
         cols = [
-            xt[p, s0 : s0 + nb] * jnp.int32(int(q[p])) for p in range(64)
+            xt[p, s0 : s0 + nb].astype(jnp.int32) * jnp.int32(int(q[p]))
+            for p in range(64)
         ]
+        if dc_row is not None:
+            cols[0] = dc_row[s0 : s0 + nb] * jnp.int32(int(q[0]))
         rows_out = [
             _butterfly_row_list([cols[8 * r + cc] for cc in range(8)], jnp)
             for r in range(8)
@@ -1302,13 +1369,15 @@ class DeviceJpegDecoder:
                  packed: bool | None = None, merged_backend: bool = False,
                  soa_backend: bool | None = None,
                  split_win: bool | None = None, planar: bool = False,
-                 soa_barriers: bool | None = None):
+                 soa_barriers: bool | None = None,
+                 i16: bool | None = None):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self.win_words = win_words
         self.k1_syms = k1_syms
         self.win1_words = win1_words
         self.split_win = split_win
+        self.i16 = i16
         # planar=True: fused decode returns [B, 3, H, W] (color) — the
         # TPU-friendly layout (minor dim W, not 3); gray is unaffected
         self.planar = planar
@@ -1420,7 +1489,7 @@ class DeviceJpegDecoder:
 
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
                self.mesh is not None, self.packed, self.merged_backend,
-               self.soa_backend, self.planar, self.soa_barriers)
+               self.soa_backend, self.planar, self.soa_barriers, self.i16)
         fn = self._decode_fns.get(key)
         if fn is None:
             # packed+mesh entropy runs under shard_map and emits legacy
@@ -1435,6 +1504,7 @@ class DeviceJpegDecoder:
                 coeff_dtype=jnp.int32, _raw=True,
                 _soa_out=self.soa_backend and not packed_mesh,
                 mesh=self.mesh if self.packed else None,
+                i16=self.i16,
             )
 
             if self.soa_backend:
@@ -1476,8 +1546,19 @@ class DeviceJpegDecoder:
         ``ok`` is left on device so callers can pipeline; materialize it
         (bool(ok)) to validate the batch decoded cleanly.
         """
-        plan = prep_batch(datas)
-        return self._fused(plan)(*self._put(plan))
+        from ..utils import metrics, trace
+
+        with trace("jpeg_onchip.prep"):
+            plan = prep_batch(datas)
+        metrics.count("jpeg_onchip.images", len(datas))
+        metrics.count(
+            "jpeg_onchip.megapixels",
+            len(datas) * plan.width * plan.height / 1e6,
+        )
+        with trace("jpeg_onchip.upload"):
+            bufs = self._put(plan)
+        with trace("jpeg_onchip.dispatch"):
+            return self._fused(plan)(*bufs)
 
 
 def _grids_graph(plan: ScanPlan, grids, quants):

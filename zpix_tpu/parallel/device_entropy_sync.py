@@ -480,7 +480,11 @@ class SyncJpegDecoder:
         import jax
         import jax.numpy as jnp
 
-        plan = prep_batch_sync(datas, self.chunk_bytes)
+        from ..utils import metrics, trace
+
+        with trace("jpeg_sync.prep"):
+            plan = prep_batch_sync(datas, self.chunk_bytes)
+        metrics.count("jpeg_sync.images", len(datas))
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]))
         fn = self._fns.get(key)
         if fn is None:

@@ -319,24 +319,28 @@ class BatchPngDecoder:
 
         lib = runtime.get_lib()
         outs = np.empty((len(datas), h, row_bytes), np.uint8)
-        if lib is not None:
-            import ctypes
+        with trace("png_batch.defilter"):
+            if lib is not None:
+                import ctypes
 
-            raws = [bytes(p[1][: h * (row_bytes + 1)]) for p in parsed]
-            raw_ptrs = (ctypes.c_char_p * len(raws))(*raws)
-            out_ptrs = (ctypes.POINTER(ctypes.c_uint8) * len(raws))()
-            for i in range(len(raws)):
-                out_ptrs[i] = outs[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-            rc = lib.zpix_defilter_batch(
-                raw_ptrs, h, row_bytes, bpp, out_ptrs, len(raws), self.n_threads
-            )
-            if rc != 0:
-                raise FormatError("png: invalid filter type")
-        else:
-            from ..codecs.png.defilter import defilter
+                raws = [bytes(p[1][: h * (row_bytes + 1)]) for p in parsed]
+                raw_ptrs = (ctypes.c_char_p * len(raws))(*raws)
+                out_ptrs = (ctypes.POINTER(ctypes.c_uint8) * len(raws))()
+                for i in range(len(raws)):
+                    out_ptrs[i] = outs[i].ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint8)
+                    )
+                rc = lib.zpix_defilter_batch(
+                    raw_ptrs, h, row_bytes, bpp, out_ptrs, len(raws),
+                    self.n_threads,
+                )
+                if rc != 0:
+                    raise FormatError("png: invalid filter type")
+            else:
+                from ..codecs.png.defilter import defilter
 
-            for i, (_, raw) in enumerate(parsed):
-                outs[i] = defilter(raw, h, row_bytes, bpp)
+                for i, (_, raw) in enumerate(parsed):
+                    outs[i] = defilter(raw, h, row_bytes, bpp)
 
         rows = self._shard(outs)
         fn = _jit(f"png_host_{cd}_{st0.width}",

@@ -364,7 +364,11 @@ class BatchQoiDecoder:
     def decode(self, datas: list[bytes]):
         import jax
 
-        plan = prep_qoi_batch(datas, self.chunk_bytes)
+        from ..utils import metrics, trace
+
+        with trace("qoi_onchip.prep"):
+            plan = prep_qoi_batch(datas, self.chunk_bytes)
+        metrics.count("qoi_onchip.images", len(datas))
         key = (plan.cache_key, int(plan.stream.shape[0]))
         fn = self._fns.get(key)
         if fn is None:

@@ -53,6 +53,22 @@ class Metrics:
             self.timers.clear()
             self.timer_calls.clear()
 
+    def report(self) -> str:
+        """One aligned text table: counters, then per-stage timers with
+        mean per call — the stage-budget view the perf work reads."""
+        snap = self.snapshot()
+        lines = []
+        for k in sorted(snap["counters"]):
+            lines.append(f"{k:<36} {snap['counters'][k]:>12.3f}")
+        for k in sorted(snap["timers"]):
+            t = snap["timers"][k]
+            mean = t["total_s"] / max(t["calls"], 1)
+            lines.append(
+                f"{k:<36} {t['total_s'] * 1e3:>9.1f} ms "
+                f"({t['calls']}x, {mean * 1e3:.2f} ms/call)"
+            )
+        return "\n".join(lines)
+
 
 metrics = Metrics()
 
