@@ -237,14 +237,22 @@ def test_batch_png_empty_batch(testdata):
         BatchPngDecoder().decode([])
 
 
-def test_batch_png_interlaced_rejected(testdata):
+def test_batch_png_trns_colorkey_rejected(testdata):
+    """Color-key transparency still routes to the host decoder (the
+    batched expansion matrix covers paletted tRNS via the palette, not
+    the per-pixel key rewrite)."""
+    import io
+
+    from PIL import Image
+
     from zpix_tpu.errors import UnsupportedError
     from zpix_tpu.parallel.png_batch import BatchPngDecoder
 
-    with open(os.path.join(testdata, "png", "basn3p04-31i.png"), "rb") as f:
-        data = f.read()
+    g = (np.arange(16 * 16) % 256).astype(np.uint8).reshape(16, 16)
+    buf = io.BytesIO()
+    Image.fromarray(g, "L").save(buf, format="PNG", transparency=7)
     with pytest.raises(UnsupportedError):
-        BatchPngDecoder().decode([data])
+        BatchPngDecoder().decode([buf.getvalue()])
 
 
 def test_dryrun_multichip():
@@ -311,3 +319,24 @@ def test_batch_cmyk_ycck_rgb_parity(testdata):
         want = host.pix if out.shape[-1] == 4 else host.pix[..., :3]
         assert np.array_equal(out[0], want), name
         assert np.array_equal(out[1], want), name
+
+
+def test_batch_png_interlaced_parity(testdata, png_dir):
+    """Adam7 streams decode through the batched device path (per-pass
+    wavefront defilter + expansion + strided device scatter) with host
+    parity (mergePassInto, decoder.zig:1289-1373)."""
+    import glob
+
+    from zpix_tpu.codecs import png as png_codec
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    files = sorted(glob.glob(os.path.join(png_dir, "*i.png")))[:4]
+    assert files, "no interlaced pngsuite files found"
+    for path in files:
+        with open(path, "rb") as f:
+            data = f.read()
+        host = png_codec.decode(data)
+        out = np.asarray(BatchPngDecoder().decode([data] * 2))
+        want = host.rgba_pixels().reshape(host.height, host.width, 4)
+        assert np.array_equal(out[0], want), path
+        assert np.array_equal(out[1], want), path

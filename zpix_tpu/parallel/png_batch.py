@@ -17,7 +17,16 @@ import zlib
 
 import numpy as np
 
-from ..codecs.png.decode import _BITS_PER_PIXEL, _State, _parse_ihdr, _parse_plte, _parse_trns, _walk_chunks
+from ..codecs.png.decode import (
+    _BITS_PER_PIXEL,
+    INTERLACING,
+    _pass_dims,
+    _State,
+    _parse_ihdr,
+    _parse_plte,
+    _parse_trns,
+    _walk_chunks,
+)
 from ..errors import FormatError, UnsupportedError
 from ..image.model import PALETTE_NRGBA
 
@@ -37,13 +46,20 @@ def parse_filtered(data: bytes):
             _parse_trns(st, payload)
         elif ctype == b"IDAT":
             idat += payload
-    if st.interlace:
-        raise UnsupportedError("png: batched path is non-interlaced only")
-    # IHDR fixes the inflated size exactly: height * (1 + row_bytes)
+    # IHDR fixes the inflated size exactly (per pass for Adam7)
     from .. import runtime
 
     bits = _BITS_PER_PIXEL[st.color_depth]
-    expected = st.height * (1 + (bits * st.width + 7) // 8)
+    if st.interlace:
+        expected = sum(
+            ph * (1 + (bits * pw + 7) // 8)
+            for pw, ph in (
+                _pass_dims(st.width, st.height, p) for p in range(7)
+            )
+            if pw > 0 and ph > 0
+        )
+    else:
+        expected = st.height * (1 + (bits * st.width + 7) // 8)
     raw = runtime.zlib_decompress_sized(bytes(idat), expected)
     if raw is None:
         raw = zlib.decompress(bytes(idat))
@@ -191,6 +207,26 @@ def _expand_lowbit_palette(rows, palette, *, width, depth):
     return palette[batch_idx, idx]
 
 
+def _interlaced_graph(cd, passes, palette, *, bpp, pass_meta, width, height):
+    """Adam7 on device: per-pass wavefront defilter + expansion, then a
+    strided scatter into the full canvas (mergePassInto,
+    /root/reference/src/png/decoder.zig:1289-1373)."""
+    import jax.numpy as jnp
+
+    from ..ops.defilter import defilter_jnp
+
+    B = passes[0][0].shape[0]
+    canvas = jnp.zeros((B, height, width, 4), jnp.uint8)
+    for (p, pw, ph), (rows, ft) in zip(pass_meta, passes):
+        dec = defilter_jnp(rows, ft, bpp=bpp)
+        px = _expand_graph(cd, dec, palette, width=pw)
+        xo, yo, xf, yf = INTERLACING[p]
+        canvas = canvas.at[
+            :, yo : yo + ph * yf : yf, xo : xo + pw * xf : xf
+        ].set(px)
+    return canvas
+
+
 def _expand_graph(cd: str, rows, palette, *, width: int):
     """Shared expansion dispatch: defiltered rows -> RGBA8 device graph."""
     if cd == "tc8":
@@ -295,6 +331,37 @@ class BatchPngDecoder:
                 pal[i, : len(p), :3] = pre
                 pal[i, : len(p), 3] = p[:, 3]
             pal_dev = self._shard(pal)
+
+        if st0.interlace:
+            # Adam7: per-pass device defilter + expansion + strided
+            # scatter, all one jitted graph.
+            passes, meta = [], []
+            offset = 0
+            for p in range(7):
+                pw, ph = _pass_dims(st0.width, st0.height, p)
+                if pw == 0 or ph == 0:
+                    continue
+                rb = (bpp_bits * pw + 7) // 8
+                need = ph * (1 + rb)
+                seg = np.stack([
+                    np.frombuffer(pr[1], np.uint8)[offset : offset + need]
+                    .reshape(ph, 1 + rb)
+                    for pr in parsed
+                ])
+                offset += need
+                meta.append((p, pw, ph))
+                passes.append((
+                    self._shard(np.ascontiguousarray(seg[:, :, 1:])),
+                    self._shard(np.ascontiguousarray(seg[:, :, 0])),
+                ))
+            fn = _jit(
+                f"png_adam7_{cd}_{st0.width}x{st0.height}_{len(datas)}",
+                lambda ps, pal: _interlaced_graph(
+                    cd, ps, pal, bpp=bpp, pass_meta=tuple(meta),
+                    width=st0.width, height=st0.height,
+                ),
+            )
+            return fn(passes, pal_dev)
 
         if self.device_defilter:
             # Filter bytes stay in the upload (same byte count); defilter
