@@ -56,3 +56,35 @@ def test_drawer():
     assert tuple(img.pix[15, 15]) == (255, 0, 0, 255)
     d.draw_circle(8, 8, 5, (0, 255, 0, 255))
     assert tuple(img.pix[8, 13]) == (0, 255, 0, 255)
+
+
+def test_sub_image():
+    """sub_image views the intersection and keeps chroma alignment
+    (per-type subImage, image.zig:153-176; YCbCr deep-copy :557-583)."""
+    import numpy as np
+
+    import zpix_tpu
+    from zpix_tpu.image import Rectangle
+
+    img = zpix_tpu.load("/root/reference/src/testdata/video-001.png")
+    full = img.rgba_pixels().reshape(img.height, img.width, 4)
+    r = Rectangle.init(17, 9, 101, 77)
+    sub = img.sub_image(r)
+    assert (sub.width, sub.height) == (84, 68)
+    got = sub.rgba_pixels().reshape(68, 84, 4)
+    assert np.array_equal(got, full[9:77, 17:101])
+    # out-of-range rect -> empty image, not an error
+    empty = img.sub_image(Rectangle.init(5000, 5000, 6000, 6000))
+    assert empty.width == 0 and empty.height == 0
+
+    # YCbCr (odd origin exercises the absolute cOffset alignment)
+    jimg = zpix_tpu.load("/root/reference/src/testdata/video-001.q50.420.jpeg")
+    jfull = jimg.rgba_pixels().reshape(jimg.height, jimg.width, 4)
+    jsub = jimg.sub_image(Rectangle.init(13, 7, 100, 50))
+    jgot = jsub.rgba_pixels().reshape(43, 87, 4)
+    assert np.array_equal(jgot, jfull[7:50, 13:100])
+    # nested sub of a sub keeps alignment too
+    jsub2 = jsub.sub_image(Rectangle.init(20, 10, 60, 40))
+    assert np.array_equal(
+        jsub2.rgba_pixels().reshape(30, 40, 4), jfull[10:40, 20:60]
+    )

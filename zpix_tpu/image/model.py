@@ -132,6 +132,26 @@ class _BaseImage:
         out[..., 3] = (a >> 8).astype(np.uint8)
         return out.reshape(-1)
 
+    def sub_image(self, r: Rectangle):
+        """View of the intersection with ``r``, sharing pixel memory
+        (per-type subImage, /root/reference/src/image/image.zig:153-176
+        and siblings; empty intersections return a 0-size image)."""
+        r2 = self.rect.intersect(r)
+        if r2 is None:
+            cls = type(self)
+            out = cls.__new__(cls)
+            out.__dict__.update(self.__dict__)
+            out.pix = self.pix[:0, :0]
+            out.rect = Rectangle(r.min, r.min)
+            return out
+        y0 = r2.min.y - self.rect.min.y
+        x0 = r2.min.x - self.rect.min.x
+        out = type(self).__new__(type(self))
+        out.__dict__.update(self.__dict__)
+        out.pix = self.pix[y0 : y0 + r2.dy, x0 : x0 + r2.dx]
+        out.rect = r2
+        return out
+
 
 def _rect_for(w: int, h: int) -> Rectangle:
     return Rectangle.init(0, 0, w, h)
@@ -335,9 +355,43 @@ class YCbCrImage(_BaseImage):
         return self.y
 
     def upsampled_cbcr(self):
-        """Full-resolution (h, w) chroma via the cOffset gather maps."""
-        rm, cm = chroma_index_maps(self.width, self.height, self.ratio)
+        """Full-resolution (h, w) chroma via the cOffset gather maps.
+
+        ``_origin`` (set by sub_image) keeps the chroma grid aligned to
+        the parent image's absolute coordinates, mirroring cOffset's use
+        of absolute x,y (/root/reference/src/image/image.zig:594-605)."""
+        oy, ox = getattr(self, "_origin", (0, 0))
+        rm, cm = chroma_index_maps(self.width + ox, self.height + oy, self.ratio)
+        rm = rm[oy:] - rm[oy]
+        cm = cm[ox:] - cm[ox]
         return self.cb[np.ix_(rm, cm)], self.cr[np.ix_(rm, cm)]
+
+    def sub_image(self, r: Rectangle):
+        """Deep-copy crop, like the reference's YCbCr subImage
+        (/root/reference/src/image/image.zig:557-583)."""
+        r2 = self.rect.intersect(r)
+        if r2 is None:
+            z = np.zeros((0, 0), np.uint8)
+            return YCbCrImage(z, z, z, self.ratio, Rectangle(r.min, r.min))
+        oy0, ox0 = getattr(self, "_origin", (0, 0))
+        y0 = r2.min.y - self.rect.min.y
+        x0 = r2.min.x - self.rect.min.x
+        rm_full, cm_full = chroma_index_maps(
+            self.width + ox0, self.height + oy0, self.ratio
+        )
+        cy0 = int(rm_full[oy0 + y0] - rm_full[oy0])
+        cx0 = int(cm_full[ox0 + x0] - cm_full[ox0])
+        cy1 = int(rm_full[oy0 + y0 + r2.dy - 1] - rm_full[oy0]) + 1
+        cx1 = int(cm_full[ox0 + x0 + r2.dx - 1] - cm_full[ox0]) + 1
+        out = YCbCrImage(
+            self.y[y0 : y0 + r2.dy, x0 : x0 + r2.dx].copy(),
+            self.cb[cy0:cy1, cx0:cx1].copy(),
+            self.cr[cy0:cy1, cx0:cx1].copy(),
+            self.ratio,
+            r2,
+        )
+        out._origin = (oy0 + y0, ox0 + x0)
+        return out
 
     def rgba16(self):
         cb, cr = self.upsampled_cbcr()
