@@ -340,3 +340,49 @@ def test_batch_png_interlaced_parity(testdata, png_dir):
         want = host.rgba_pixels().reshape(host.height, host.width, 4)
         assert np.array_equal(out[0], want), path
         assert np.array_equal(out[1], want), path
+
+
+def test_decode_pipeline_overlap_parity():
+    """The reusable overlapped pipeline (parallel/pipeline.py) yields
+    exactly the per-batch decode results, in order."""
+    from zpix_tpu.parallel.device_entropy import DeviceJpegDecoder
+    from zpix_tpu.parallel.pipeline import (
+        jpeg_onchip_pipeline,
+        qoi_onchip_pipeline,
+    )
+
+    def synth(seed, w=96, h=64):
+        import io
+
+        from PIL import Image
+
+        rng = np.random.RandomState(seed)
+        base = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(base).save(buf, format="JPEG", quality=60,
+                                   subsampling=2, restart_marker_blocks=4)
+        return buf.getvalue()
+
+    batches = [[synth(3 * s + j) for j in range(2)] for s in range(3)]
+    dec = DeviceJpegDecoder()
+    got = list(jpeg_onchip_pipeline(dec).map(batches))
+    assert len(got) == 3
+    for b, (out, ok) in zip(batches, got):
+        ref, ok_ref = dec.decode(b)
+        assert bool(ok) and bool(ok_ref)
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+    # QOI arm shares the same pipeline machinery
+    from zpix_tpu.codecs.qoi.encode import Desc, encode
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (16, 24, 4), dtype=np.uint8) for _ in range(4)]
+    qbatches = [[encode(a, Desc(24, 16, 4, 0)) for a in imgs[i : i + 2]]
+                for i in (0, 2)]
+    qgot = list(qoi_onchip_pipeline().map(qbatches))
+    from zpix_tpu.codecs.qoi.decode import decode as qhost
+
+    for b, (out, ok) in zip(qbatches, qgot):
+        assert bool(ok)
+        for i, d in enumerate(b):
+            assert np.array_equal(np.asarray(out)[i], qhost(d).pix)
