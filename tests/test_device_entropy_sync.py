@@ -123,20 +123,25 @@ def test_flat_low_entropy_image():
     assert np.array_equal(np.asarray(img)[0], ref[0])
 
 
-def test_rejects_cmyk_and_rgb(testdata):
-    """4-component and RGB-colorspace JPEGs need applyBlack/convertToRGB
-    (decoder.zig:699-902) and must raise a typed error, not decode with
-    YCbCr math or crash."""
+def test_cmyk_and_rgb_parity(testdata):
+    """4-component and RGB-colorspace restart-free JPEGs decode through
+    the sync path with host parity (applyBlack/convertToRGB arms,
+    decoder.zig:699-902)."""
     import io
 
+    import zpix_tpu.codecs.jpeg as jpeg_codec
     from PIL import Image
 
-    flat = np.full((32, 32, 3), 90, np.uint8)
+    rgb = (np.arange(64 * 48 * 3) % 253).astype(np.uint8).reshape(48, 64, 3)
     buf = io.BytesIO()
-    Image.fromarray(flat).convert("CMYK").save(buf, format="JPEG")
-    with pytest.raises(UnsupportedError):
-        prep_batch_sync([buf.getvalue()])
+    Image.fromarray(rgb).convert("CMYK").save(buf, format="JPEG", quality=75)
+    data = buf.getvalue()
+    out, ok = SyncJpegDecoder().decode([data])
+    host = jpeg_codec.decode(data)
+    assert bool(ok) and np.array_equal(np.asarray(out)[0], host.pix)
+
     with open(os.path.join(testdata, "video-001.rgb.jpeg"), "rb") as f:
-        rgb = f.read()
-    with pytest.raises(UnsupportedError):
-        prep_batch_sync([rgb])
+        data = f.read()
+    out, ok = SyncJpegDecoder().decode([data])
+    host = jpeg_codec.decode(data)
+    assert bool(ok) and np.array_equal(np.asarray(out)[0], host.pix[..., :3])

@@ -68,6 +68,7 @@ class SyncPlan:
     comp_of_slot: tuple
     n_mcu: int
     quants: list
+    color: str
     cmp: CmpTables
     tid_dc: tuple
     tid_ac: tuple
@@ -89,28 +90,23 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
     streams = []
     for data in datas:
         sof, quants, huffs, dri, sel, scan_start, color = _parse_headers(data)
-        if color not in ("gray", "ycbcr"):
-            raise UnsupportedError(
-                f"jpeg: sync decoder covers gray/YCbCr, not {color}; "
-                "use DeviceJpegDecoder (restart streams) or the host path"
-            )
         key = (sof, tuple(q.tobytes() if q is not None else None for q in quants),
                tuple(sorted((k, t.num_codes, tuple(t.vals), tuple(t.min_codes),
                              tuple(t.max_codes), tuple(t.vals_indices))
-                            for k, t in huffs.items())), tuple(sel))
+                            for k, t in huffs.items())), tuple(sel), color)
         if dri > 0:
             raise UnsupportedError(
                 "jpeg: stream has restart markers; use DeviceJpegDecoder "
                 "(restart segments are cheaper parallel boundaries)"
             )
         if first is None:
-            first = (key, sof, quants, huffs, sel)
+            first = (key, sof, quants, huffs, sel, color)
         elif key != first[0]:
             raise UnsupportedError("jpeg: batch must share geometry and tables")
         stream, _ = _destuff(data, scan_start)
         streams.append(stream)
 
-    _, sof, quants, huffs, sel = first
+    _, sof, quants, huffs, sel, color = first
     w, h, nc, comps = sof
     h0, v0 = comps[0][1], comps[0][2]
     mxx = (w + 8 * h0 - 1) // (8 * h0)
@@ -147,7 +143,7 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
     n_chunks = (max(len(s) for s in streams) + chunk_bytes - 1) // chunk_bytes
 
     ratio = "gray"
-    if nc == 3:
+    if nc >= 3:
         hr = comps[0][1] // comps[1][1]
         vr = comps[0][2] // comps[1][2]
         ratio = {0x11: "444", 0x12: "440", 0x21: "422",
@@ -157,6 +153,7 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
         hv=tuple((c[1], c[2]) for c in comps), ratio=ratio,
         mxx=mxx, myy=myy, bpm=bpm, comp_of_slot=tuple(comp_of_slot),
         n_mcu=mxx * myy, quants=[quants[c[3]] for c in comps],
+        color=color,
         cmp=cmp, tid_dc=tid_dc, tid_ac=tid_ac,
         stream=flat, img_bit_start=img_bit_start, img_bit_end=img_bit_end,
         chunk_bytes=chunk_bytes, n_chunks=n_chunks,
@@ -499,21 +496,13 @@ class SyncJpegDecoder:
             ]
 
             def fused(stream, s0, s1):
+                from .device_entropy import _grids_graph
+
                 coeffs, ok = body(stream, s0, s1)
-                g = _grids(plan, coeffs)
-                if plan.ncomp == 1:
-                    rgb = _gray_graph(
-                        g[0].astype(jnp.int32), jnp.asarray(quants[0]),
-                        height=plan.height, width=plan.width,
-                    )
-                else:
-                    rgb = _ycbcr_graph(
-                        g[0].astype(jnp.int32), g[1].astype(jnp.int32),
-                        g[2].astype(jnp.int32),
-                        *(jnp.asarray(q) for q in quants),
-                        height=plan.height, width=plan.width,
-                        ratio=plan.ratio,
-                    )
+                rgb = _grids_graph(
+                    plan, _grids(plan, coeffs),
+                    [jnp.asarray(q) for q in quants],
+                )
                 return rgb, ok
 
             fn = jax.jit(fused)
