@@ -43,3 +43,25 @@ def test_probe(testdata):
     with open(os.path.join(testdata, "bmp_1bpp.bmp"), "rb") as f:
         assert bmp.probe_buffer(f.read(2))
     assert not bmp.probe_buffer(b"PNG")
+
+
+def test_batch_bmp_device_parity(testdata):
+    """Every corpus BMP decodes through the batched device path equal to
+    the host decode's rgba_pixels flatten (decoder.zig:42-307 arms)."""
+    import glob
+
+    import numpy as np
+
+    from zpix_tpu.codecs import bmp as bmp_codec
+    from zpix_tpu.parallel.bmp_batch import BatchBmpDecoder
+
+    files = sorted(glob.glob(os.path.join(testdata, "*.bmp")))
+    assert len(files) >= 6
+    for path in files:
+        with open(path, "rb") as f:
+            data = f.read()
+        host = bmp_codec.decode(data)
+        want = host.rgba_pixels().reshape(host.height, host.width, 4)
+        out = np.asarray(BatchBmpDecoder().decode([data] * 2))
+        assert np.array_equal(out[0], want), path
+        assert np.array_equal(out[1], want), path

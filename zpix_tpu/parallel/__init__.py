@@ -16,6 +16,7 @@ from .device_entropy import DeviceJpegDecoder
 from .device_entropy_sync import SyncJpegDecoder
 from .png_batch import BatchPngDecoder
 from .qoi_batch import BatchQoiDecoder
+from .bmp_batch import BatchBmpDecoder
 from .progressive import DeviceProgressiveDecoder
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "batch_sharding",
     "BatchJpegDecoder",
     "BatchPngDecoder",
+    "BatchBmpDecoder",
     "BatchQoiDecoder",
     "DeviceProgressiveDecoder",
     "DeviceJpegDecoder",
