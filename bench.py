@@ -146,7 +146,13 @@ def main_onchip(batch: int, size: int, steps: int):
 
     import jax.numpy as jnp
 
-    dec = DeviceJpegDecoder()
+    # planar [B,3,H,W] output keeps W minor on every store (an
+    # interleaved [B,H,W,3] tensor pads its minor dim of 3 to the
+    # 128-lane register row); measured ~2% faster end to end
+    # (tools/ab_bench.py planb16 vs noup, 2026-08-20).
+    planar = os.environ.get("BENCH_PLANAR", "1") == "1"
+    i16 = os.environ.get("ZPIX_ONCHIP_I16", "0") == "1"
+    dec = DeviceJpegDecoder(planar=planar, i16=i16)
     digest = make_digest()
     plan0 = prep_batch(pools[0])
     fused0 = dec._fused(plan0)

@@ -1,14 +1,24 @@
-"""Batched PNG decode: host inflate+defilter -> device expansion.
+"""Batched PNG decode: host inflate -> device defilter/expand/merge.
 
-PNG's serial front-end is the zlib stream (LZ77 back-references) and the
-per-row filter recurrence; both run native on host (zlib C + the
-runtime/defilter.cpp thread pool).  The dense back-end — channel
-expansion, alpha fill, palette gather, 16-bit assembly — runs as one
-jitted device graph so decoded batches land on the TPU for consumers
-(e.g. ML input pipelines) without a second host round-trip.
+The host front-end is zlib inflate only (native libdeflate with the
+exact IHDR-derived size, else zlib); everything after the inflated
+bytes can run on device: the filter recurrence (ops/defilter.py
+wavefront scan, device_defilter=True), channel expansion / alpha fill /
+palette gather / 16-bit assembly, and the Adam7 per-pass scatter merge.
 
-Covered depths: tc8 (RGB -> RGBA), tca8, g8, p8 (palette gather).
-Everything else uses the host decoder (codecs/png).
+Why inflate itself stays host-native (SURVEY.md hard part 3, measured
+reasoning): DEFLATE dynamic blocks carry data-dependent Huffman tables,
+so a speculative chunk lane (the device_entropy_sync machinery) would
+have to carry ~300-entry code tables as per-lane state through the
+fixed-point iteration, and LZ77 copy resolution is a chained random
+gather over a 32 KiB window — the access pattern this hardware is worst
+at (CLAUDE.md: per-lane gather ~3-4 ms / 400K lanes; a 50 MB batch
+would need several full-buffer gather rounds).  Host libdeflate moves
+GB/s on two cores; the decode pipeline's bottleneck is elsewhere.
+
+Covered depths: the full non-tRNS matrix (g1..g16, ga8/16, tc8/16,
+tca8/16, p1..p8 incl. paletted tRNS) + Adam7.  Color-key tRNS uses the
+host decoder.
 """
 
 from __future__ import annotations
