@@ -293,6 +293,64 @@ def main_png(batch: int, size: int, steps: int):
     return steps * mpix / best
 
 
+def make_bench_qoi(size: int = 1024, seed: int = 0) -> bytes:
+    """Structured RGBA8 QOI stream with distinct content per seed."""
+    from zpix_tpu.codecs.qoi.encode import Desc, encode
+
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 20, size)
+    base = (128 + 100 * np.sin(x[None, :] * np.cos(x[:, None]) + seed)).astype(
+        np.uint8
+    )
+    noise = rng.randint(0, 8, (size, size)).astype(np.uint8)
+    rgba = np.stack(
+        [base ^ noise, base.T, base // 2 + 64, np.full_like(base, 255)], -1
+    )
+    return encode(rgba, Desc(size, size, 4, 0))
+
+
+def main_qoi(batch: int, size: int, steps: int):
+    """On-chip QOI decode (parallel/qoi_batch.py speculative chunk scan),
+    timed with the same digest-chain rules as the JPEG path."""
+    import jax
+    import jax.numpy as jnp
+
+    from zpix_tpu.parallel.qoi_batch import BatchQoiDecoder
+
+    mpix = batch * size * size / 1e6
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    pools = [
+        [make_bench_qoi(size, seed=s * batch + j) for j in range(batch)]
+        for s in range(steps * trials)
+    ]
+    dec = BatchQoiDecoder()
+    digest = make_digest()
+
+    @jax.jit
+    def dig(acc, out):
+        return digest(acc, out)
+
+    out, ok = dec.decode(pools[0])
+    acc = dig(jnp.uint32(0), out)
+    _ = int(acc)  # warm compile
+    assert bool(ok), "qoi device scan failed on warmup batch"
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.perf_counter()
+        acc = jnp.uint32(t + 1)
+        for i in range(steps):
+            out, ok = dec.decode(pools[(t * steps + i) % len(pools)])
+            acc = dig(acc, out)
+        _ = int(acc)
+        best = min(best, time.perf_counter() - t0)
+    print(
+        f"# qoi on-chip path | batch={batch} size={size} steps={steps} "
+        f"backend={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    return steps * mpix / best
+
+
 def main():
     # Self-exit instead of being killed: a client killed mid-TPU-op wedges
     # the tunneled backend's D2H path for every later process (CLAUDE.md
@@ -322,6 +380,20 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "24"))
     workers = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 8)))
+
+    if os.environ.get("BENCH_MODE", "onchip") == "qoi":
+        mpix_s = main_qoi(batch, size, steps)
+        print(
+            json.dumps(
+                {
+                    "metric": "batched QOI decode (on-chip speculative scan)",
+                    "value": round(mpix_s, 1),
+                    "unit": "MPix/s/chip",
+                    "vs_baseline": round(mpix_s / 2000.0, 4),
+                }
+            )
+        )
+        return
 
     if os.environ.get("BENCH_MODE", "onchip") == "png":
         mpix_s = main_png(batch, size, steps)

@@ -248,6 +248,17 @@ def idct_pallas(blocks, *, block_tile: int = 512, interpret: bool = False):
     padding waste.  The row pass slices columns (``t[:, k, :]``), the
     column pass re-stacks per-row slices — an in-register 8x8 transpose
     per lane.  Falls back to the jnp implementation when N isn't tileable.
+
+    STATUS: superseded in the production graph by the SoA formulation
+    (parallel/device_entropy._soa_backend), which applies the identical
+    butterfly lists over 64 coefficient-position-major [N] vectors born
+    directly from the value pass's lane-minor store — no [N, 8, 8]
+    tensor ever materializes, so there is nothing left for a hand
+    kernel to beat (the back-end measures ~0.7 ms of an ~11 ms batch,
+    tools/profile_onchip.py 2026-08-20, "soa coeffs" -> "+backend[pix]").
+    Kept as the standalone blocked-layout kernel (bit-exact, differential
+    tested incl. on real TPU, commit 313f939) for consumers that already
+    hold [N, 8, 8] blocks.
     """
     import jax
     import jax.numpy as jnp
