@@ -267,3 +267,16 @@ def test_onchip_rgb_parity():
     assert bool(ok)
     host = jpeg_codec.decode(data)
     assert np.array_equal(np.asarray(out)[0], host.pix[..., :3])
+
+
+def test_i16_stores_parity(restart_jpeg):
+    """The int16 value-pass store (split DC row) and int16 relative
+    pass-1 ends must decode bit-identically to the int32 forms — the
+    narrowings are exact by range analysis (AC extend <= 15 bits;
+    segment-relative ends < 2^15 under the auto-gate)."""
+    ref, ok0 = DeviceJpegDecoder().decode([restart_jpeg, restart_jpeg])
+    out, ok1 = DeviceJpegDecoder(i16=True, p1_i16=True).decode(
+        [restart_jpeg, restart_jpeg]
+    )
+    assert bool(ok0) and bool(ok1)
+    assert np.array_equal(np.asarray(ref), np.asarray(out))

@@ -85,6 +85,9 @@ VARIANTS = {
                         k_syms=12, win_words=4),
     # split16 value-pass store (int16 AC + int32 DC row)
     "i16planar": dict(packed=True, _prefetch=True, planar=True, i16=True),
+    "p1i16planar": dict(packed=True, _prefetch=True, planar=True, p1_i16=True),
+    "alli16planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
+                         p1_i16=True),
 }
 
 

@@ -56,6 +56,8 @@ _DEF_SPLIT_WIN = os.environ.get("ZPIX_ONCHIP_SPLIT_WIN", "0") == "1"
 # split16 value-pass store: int16 AC + separate int32 DC row (halves the
 # hot [64, L2] while-loop carry traffic; exact — AC extend <= 15 bits)
 _DEF_I16 = os.environ.get("ZPIX_ONCHIP_I16", "0") == "1"
+# pass-1 int16 relative block-ends (auto-disabled for long segments)
+_DEF_P1I16 = os.environ.get("ZPIX_ONCHIP_P1I16", "0") == "1"
 # uint8 stage-boundary optimization barriers in the SoA back-end
 _DEF_SOA_BARRIERS = os.environ.get("ZPIX_SOA_BARRIERS", "1") == "1"
 
@@ -827,7 +829,7 @@ def build_decode_fn(
     win1_words: int | None = None, packed: bool = False,
     coeff_dtype=None, _stage: int = 2, _raw: bool = False,
     _soa_out: bool = False, split_win: bool | None = None,
-    mesh=None, i16: bool | None = None,
+    mesh=None, i16: bool | None = None, p1_i16: bool | None = None,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -880,6 +882,12 @@ def build_decode_fn(
     if i16 is None:
         i16 = _DEF_I16
     i16 = bool(i16) and _soa_out and _stage == 2
+    # pass-1 records block ends RELATIVE to the segment start in int16
+    # (halves the [nblk, L1] one-hot emission traffic); exact whenever
+    # the longest segment + window overhang fits 15 bits — auto-gated.
+    if p1_i16 is None:
+        p1_i16 = _DEF_P1I16
+    p1_i16 = bool(p1_i16) and (plan.max_seg_bits + 512 < 32768)
     if max_steps is None:
         # every pass-1 step consumes >= min(k1 symbols of >= 2 bits,
         # the window capacity) or finishes the lane, so the longest
@@ -918,6 +926,10 @@ def build_decode_fn(
         # (offs carried TRANSPOSED, [nblk, L1]: nblk is small — 24 at
         # dri=4 — so lane-minor layout keeps the one-hot emission ops
         # from wasting 128-nblk of every vector register row)
+        seg_start32 = seg_bit_pos.astype(jnp.int32)
+        e_dtype = jnp.int16 if p1_i16 else jnp.int32
+        e_zero = jnp.int16(0) if p1_i16 else 0
+
         def body1(st):
             (bit_pos, offsT, slot, mcu_cnt, k, phase, done, err, steps) = st
             byte = jnp.clip(bit_pos >> 3, 0, n - 1)
@@ -958,7 +970,8 @@ def build_decode_fn(
                 # (a per-symbol one-hot costs a separate wide kernel)
                 blk_idx = jnp.clip(mcu_cnt * bpm + slot, 0, nblk - 1)
                 end_abs = base + off + consume
-                emits.append((blk_idx, jnp.where(adv_blk, end_abs, 0)))
+                ev = jnp.where(adv_blk, end_abs - (seg_start32 if p1_i16 else 0), 0)
+                emits.append((blk_idx, ev.astype(e_dtype) if p1_i16 else ev))
                 slot = jnp.where(adv_blk, slot + 1, slot)
                 wrap = adv_blk & (slot >= bpm)
                 slot = jnp.where(wrap, 0, slot)
@@ -970,7 +983,7 @@ def build_decode_fn(
                 done = done | (mcu_cnt >= seg_n_mcu) | bad
             arb = jnp.arange(nblk)[:, None]
             offsT = offsT + sum(
-                jnp.where(bi[None, :] == arb, ev[None, :], 0)
+                jnp.where(bi[None, :] == arb, ev[None, :], e_zero)
                 for bi, ev in emits
             )  # one read-modify-write of offsT per step
             bit_pos = bit_pos - off0 + off
@@ -987,7 +1000,7 @@ def build_decode_fn(
             body1,
             (
                 seg_bit_pos.astype(jnp.int32),
-                jnp.zeros((nblk, L1), jnp.int32),
+                jnp.zeros((nblk, L1), e_dtype),
                 jnp.zeros(L1, jnp.int32),
                 jnp.zeros(L1, jnp.int32),
                 jnp.zeros(L1, jnp.int32),
@@ -997,7 +1010,12 @@ def build_decode_fn(
                 jnp.int32(0),
             ),
         )
-        ends = st1[1].T  # [L1, nblk]
+        ends = st1[1].T.astype(jnp.int32)  # [L1, nblk]
+        if p1_i16:
+            # relative int16 -> absolute; padding blocks (never emitted)
+            # map back to the segment start, same as the int32 form's 0
+            # ... except int32 stored absolute; keep their starts exact:
+            ends = jnp.where(st1[1].T != 0, ends + seg_start32[:, None], 0)
         ok1 = jnp.all(st1[6]) & ~jnp.any(st1[7])
         if _stage == 1:  # debug: index pass only
             return ends, ok1
@@ -1370,7 +1388,7 @@ class DeviceJpegDecoder:
                  soa_backend: bool | None = None,
                  split_win: bool | None = None, planar: bool = False,
                  soa_barriers: bool | None = None,
-                 i16: bool | None = None):
+                 i16: bool | None = None, p1_i16: bool | None = None):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self.win_words = win_words
@@ -1378,6 +1396,7 @@ class DeviceJpegDecoder:
         self.win1_words = win1_words
         self.split_win = split_win
         self.i16 = i16
+        self.p1_i16 = p1_i16
         # planar=True: fused decode returns [B, 3, H, W] (color) — the
         # TPU-friendly layout (minor dim W, not 3); gray is unaffected
         self.planar = planar
@@ -1455,7 +1474,8 @@ class DeviceJpegDecoder:
                                  win_words=self.win_words, k1_syms=self.k1_syms,
                                  win1_words=self.win1_words,
                                  packed=self.packed, split_win=self.split_win,
-                                 mesh=self.mesh if self.packed else None)
+                                 mesh=self.mesh if self.packed else None,
+                                 p1_i16=self.p1_i16)
             self._decode_fns[key] = fn
         return fn(*self._put(plan))
 
@@ -1489,7 +1509,8 @@ class DeviceJpegDecoder:
 
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
                self.mesh is not None, self.packed, self.merged_backend,
-               self.soa_backend, self.planar, self.soa_barriers, self.i16)
+               self.soa_backend, self.planar, self.soa_barriers, self.i16,
+               self.p1_i16)
         fn = self._decode_fns.get(key)
         if fn is None:
             # packed+mesh entropy runs under shard_map and emits legacy
@@ -1504,7 +1525,7 @@ class DeviceJpegDecoder:
                 coeff_dtype=jnp.int32, _raw=True,
                 _soa_out=self.soa_backend and not packed_mesh,
                 mesh=self.mesh if self.packed else None,
-                i16=self.i16,
+                i16=self.i16, p1_i16=self.p1_i16,
             )
 
             if self.soa_backend:
