@@ -323,7 +323,13 @@ def main_qoi(batch: int, size: int, steps: int):
         [make_bench_qoi(size, seed=s * batch + j) for j in range(batch)]
         for s in range(steps * trials)
     ]
-    dec = BatchQoiDecoder()
+    # Bigger chunks for megapixel streams: lane count = stream_bytes /
+    # chunk_bytes and every lane carries a 64-entry rolling index, so
+    # 64-byte chunks on ~2 MB streams would put ~256 MB of index state
+    # in the while-loop carry.  512-byte chunks keep it ~32 MB.
+    cb = int(os.environ.get("BENCH_QOI_CHUNK", "512"))
+    dec = BatchQoiDecoder(chunk_bytes=cb,
+                          k_ops=int(os.environ.get("BENCH_QOI_K", "8")))
     digest = make_digest()
 
     @jax.jit
