@@ -386,3 +386,39 @@ def test_decode_pipeline_overlap_parity():
         assert bool(ok)
         for i, d in enumerate(b):
             assert np.array_equal(np.asarray(out)[i], qhost(d).pix)
+
+
+def test_batch_png_palette_overflow_parity():
+    """Out-of-range palette indices resolve to auto-extended opaque
+    black, matching the host (decoder.zig:1086-1130)."""
+    import struct
+    import zlib as _zlib
+
+    from zpix_tpu.codecs import png as png_codec
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", _zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    w, h = 4, 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])  # 2 entries; pixels go up to 5
+    rows = b"".join(bytes([0]) + bytes([0, 1, 3, 5]) for _ in range(h))
+    idat = _zlib.compress(rows)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    host = png_codec.decode(data)
+    want = host.rgba_pixels().reshape(h, w, 4)
+    assert tuple(want[0, 2]) == (0, 0, 0, 255)  # extended entry
+    out = np.asarray(BatchPngDecoder().decode([data] * 2))
+    assert np.array_equal(out[0], want) and np.array_equal(out[1], want)
+    out = np.asarray(
+        BatchPngDecoder(device_defilter=True).decode([data] * 2)
+    )
+    assert np.array_equal(out[0], want)

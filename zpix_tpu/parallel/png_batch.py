@@ -331,7 +331,11 @@ class BatchPngDecoder:
         # (image/model.py palette_rgba16, truncated to 8 bit).
         pal_dev = None
         if cd.startswith("p"):
+            # Entries past the real palette are opaque black — the
+            # reference auto-extends for out-of-range pixel indices
+            # (decoder.zig:1086-1130; Go pre-fills opaque black).
             pal = np.zeros((len(parsed), 256, 4), np.uint8)
+            pal[:, :, 3] = 0xFF
             for i, (st, _) in enumerate(parsed):
                 p = st.palette.astype(np.uint32)
                 is_n = st.palette_kinds == PALETTE_NRGBA
