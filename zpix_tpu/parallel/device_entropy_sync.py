@@ -485,8 +485,6 @@ class SyncJpegDecoder:
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]))
         fn = self._fns.get(key)
         if fn is None:
-            from .batch import _gray_graph, _ycbcr_graph
-
             body = build_sync_decode_fn(plan, k_syms=self.k_syms,
                                         win_words=self.win_words,
                                         k1_syms=self.k1_syms, _raw=True)
