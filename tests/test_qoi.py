@@ -84,3 +84,38 @@ def test_encode_validation():
         qoi.encode(np.zeros(4, np.uint8), qoi.Desc(1, 1, 5, 0))
     with pytest.raises(FormatError):
         qoi.encode(np.zeros(4, np.uint8), qoi.Desc(0, 1, 4, 0))
+
+
+def test_encode_vec_byte_identical():
+    """The vectorized encoder must emit byte-identical streams to the
+    serial op emission (encoder.zig:29-132) across run caps, index-hit
+    patterns (incl. the zero-initialized table edge), and both channel
+    counts."""
+    import numpy as np
+
+    from zpix_tpu.codecs.qoi.encode import Desc, encode
+    from zpix_tpu.codecs.qoi.encode_vec import encode_vec
+
+    rng = np.random.default_rng(0)
+    cases = []
+    for i in range(16):
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        ch = 4 if i % 2 else 3
+        style = i % 5
+        if style == 0:
+            a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        elif style == 1:
+            a = np.full((h, w, ch), 13, np.uint8)
+        elif style == 2:
+            a = (np.arange(h * w * ch) % 7).astype(np.uint8).reshape(h, w, ch)
+        elif style == 3:
+            a = np.zeros((h, w, ch), np.uint8)  # table-init edge
+        else:
+            a = rng.integers(0, 3, (h, w, ch), dtype=np.uint8) * 100
+            a[h // 2 :] = a[0, 0]  # runs > 62
+        cases.append((a, ch))
+    cases.append((np.full((3, 80, 4), 200, np.uint8), 4))  # multi-62 runs
+    for j, (a, ch) in enumerate(cases):
+        h, w = a.shape[:2]
+        d = Desc(w, h, ch, 0)
+        assert encode_vec(a, d) == encode(a, d), f"case {j}"
