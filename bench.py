@@ -268,7 +268,14 @@ def main_png(batch: int, size: int, steps: int):
         [make_bench_png(size, seed=s * batch + j) for j in range(batch)]
         for s in range(steps * trials)
     ]
-    dec = BatchPngDecoder()
+    # Front-end placement: host (inflate+defilter on host), defilter
+    # (host inflate, device defilter), inflate (two-pass device inflate:
+    # host symbol-resolve only, copy-resolve onward on chip).
+    front = os.environ.get("ZPIX_PNG_FRONT", "host")
+    dec = BatchPngDecoder(
+        device_defilter=front == "defilter",
+        device_inflate=front == "inflate",
+    )
     digest = make_digest()
 
     @jax.jit
@@ -287,7 +294,7 @@ def main_png(batch: int, size: int, steps: int):
         best = min(best, time.perf_counter() - t0)
     print(
         f"# png batch path | batch={batch} size={size} steps={steps} "
-        f"backend={jax.devices()[0].platform}",
+        f"front={front} backend={jax.devices()[0].platform}",
         file=sys.stderr,
     )
     return steps * mpix / best

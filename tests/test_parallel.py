@@ -422,3 +422,74 @@ def test_batch_png_palette_overflow_parity():
         BatchPngDecoder(device_defilter=True).decode([data] * 2)
     )
     assert np.array_equal(out[0], want)
+
+
+@pytest.mark.parametrize("depth,rel", PNG_BATCH_CASES)
+def test_batch_png_device_inflate_parity(testdata, depth, rel):
+    """Two-pass inflate: host DEFLATE symbol-resolve (runtime/inflate.cpp)
+    + device LZ77 copy-resolve via pointer doubling (ops/inflate.py),
+    fused with the wavefront defilter and expansion — byte parity with
+    the golden-validated host decode (inflate semantics of
+    std.compress.flate, decoder.zig:513-518)."""
+    from zpix_tpu import runtime
+    from zpix_tpu.codecs import png as png_codec
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    if runtime.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    with open(os.path.join(testdata, rel), "rb") as f:
+        data = f.read()
+    host = png_codec.decode(data)
+    out = np.asarray(BatchPngDecoder(device_inflate=True).decode([data] * 2))
+    want = host.rgba_pixels().reshape(host.height, host.width, 4)
+    assert np.array_equal(out[0], want)
+    assert np.array_equal(out[1], want)
+
+
+def test_batch_png_device_inflate_interlaced(testdata, png_dir):
+    """Adam7 through the fully-on-device front-end: copy-resolve ->
+    per-pass defilter/expand -> strided scatter merge in one graph."""
+    import glob
+
+    from zpix_tpu import runtime
+    from zpix_tpu.codecs import png as png_codec
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    if runtime.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    files = sorted(glob.glob(os.path.join(png_dir, "*i.png")))[:2]
+    assert files, "no interlaced pngsuite files found"
+    for path in files:
+        with open(path, "rb") as f:
+            data = f.read()
+        host = png_codec.decode(data)
+        out = np.asarray(
+            BatchPngDecoder(device_inflate=True).decode([data] * 2)
+        )
+        want = host.rgba_pixels().reshape(host.height, host.width, 4)
+        assert np.array_equal(out[0], want), path
+        assert np.array_equal(out[1], want), path
+
+
+def test_batch_png_device_inflate_sharded(testdata):
+    """Token upload shards on the batch mesh axis; the vmapped resolve
+    keeps every image's copy chains inside its own lane."""
+    from zpix_tpu import runtime
+    from zpix_tpu.codecs import png as png_codec
+    from zpix_tpu.parallel.mesh import make_mesh
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder
+
+    if runtime.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    import jax
+
+    with open(os.path.join(testdata, "png/basn2c08.png"), "rb") as f:
+        data = f.read()
+    host = png_codec.decode(data)
+    mesh = make_mesh(jax.devices()[:8], batch=8, stripe=1)
+    out = np.asarray(
+        BatchPngDecoder(mesh=mesh, device_inflate=True).decode([data] * 8)
+    )
+    want = host.rgba_pixels().reshape(host.height, host.width, 4)
+    for i in range(8):
+        assert np.array_equal(out[i], want)

@@ -1,20 +1,27 @@
-"""Batched PNG decode: host inflate -> device defilter/expand/merge.
+"""Batched PNG decode: host front-end -> device defilter/expand/merge.
 
-The host front-end is zlib inflate only (native libdeflate with the
-exact IHDR-derived size, else zlib); everything after the inflated
-bytes can run on device: the filter recurrence (ops/defilter.py
-wavefront scan, device_defilter=True), channel expansion / alpha fill /
-palette gather / 16-bit assembly, and the Adam7 per-pass scatter merge.
+Three front-end tiers, most-on-device first:
 
-Why inflate itself stays host-native (SURVEY.md hard part 3, measured
-reasoning): DEFLATE dynamic blocks carry data-dependent Huffman tables,
-so a speculative chunk lane (the device_entropy_sync machinery) would
-have to carry ~300-entry code tables as per-lane state through the
-fixed-point iteration, and LZ77 copy resolution is a chained random
-gather over a 32 KiB window — the access pattern this hardware is worst
-at (CLAUDE.md: per-lane gather ~3-4 ms / 400K lanes; a 50 MB batch
-would need several full-buffer gather rounds).  Host libdeflate moves
-GB/s on two cores; the decode pipeline's bottleneck is elsewhere.
+- device_inflate=True — two-pass inflate (SURVEY.md hard part 3): the
+  host runs ONLY the bit-serial DEFLATE symbol-resolve
+  (runtime/inflate.cpp, never materializing the 32 KiB window); LZ77
+  copy-resolve runs on device as a pointer-doubling scan
+  (ops/inflate.py) fused with the wavefront defilter, expansion, and
+  any Adam7 scatter merge into one compiled graph.  Token uploads cost
+  6 B/token vs 1 B/byte for inflated rows, so streams that compress
+  well also shrink the host->device link traffic.
+- device_defilter=True — host inflate (libdeflate with the exact
+  IHDR-derived size, else zlib); the filter recurrence + expansion run
+  on device.
+- default — host inflate + native SSE2 defilter; expansion on device.
+
+Why full Huffman decode is not speculated on device like JPEG
+(measured reasoning, kept from round 1): DEFLATE dynamic blocks carry
+data-dependent ~300-entry code tables, which a speculative chunk lane
+(the device_entropy_sync machinery) would have to rebuild as per-lane
+state through the fixed-point iteration.  The two-pass split keeps the
+host's share at the irreducible bit-serial part and moves the
+data-parallel remainder (copy resolution onward) on chip.
 
 Covered depths: the full non-tRNS matrix (g1..g16, ga8/16, tc8/16,
 tca8/16, p1..p8 incl. paletted tRNS) + Adam7.  Color-key tRNS uses the
@@ -41,8 +48,8 @@ from ..errors import FormatError, UnsupportedError
 from ..image.model import PALETTE_NRGBA
 
 
-def parse_filtered(data: bytes):
-    """Chunk walk + inflate: returns (state, raw filtered bytes)."""
+def _walk_idat(data: bytes):
+    """Chunk walk: returns (state, concatenated IDAT, exact inflated size)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise FormatError("png: invalid signature")
     st = _State()
@@ -57,8 +64,6 @@ def parse_filtered(data: bytes):
         elif ctype == b"IDAT":
             idat += payload
     # IHDR fixes the inflated size exactly (per pass for Adam7)
-    from .. import runtime
-
     bits = _BITS_PER_PIXEL[st.color_depth]
     if st.interlace:
         expected = sum(
@@ -70,10 +75,34 @@ def parse_filtered(data: bytes):
         )
     else:
         expected = st.height * (1 + (bits * st.width + 7) // 8)
-    raw = runtime.zlib_decompress_sized(bytes(idat), expected)
+    return st, bytes(idat), expected
+
+
+def parse_filtered(data: bytes):
+    """Chunk walk + inflate: returns (state, raw filtered bytes)."""
+    from .. import runtime
+
+    st, idat, expected = _walk_idat(data)
+    raw = runtime.zlib_decompress_sized(idat, expected)
     if raw is None:
-        raw = zlib.decompress(bytes(idat))
+        raw = zlib.decompress(idat)
     return st, raw
+
+
+def parse_tokens(data: bytes):
+    """Chunk walk + DEFLATE symbol-resolve: the host half of the two-pass
+    inflate (runtime/inflate.cpp).  Returns (state, lens, dists, lits);
+    the copy-resolve half runs on device (ops/inflate.py)."""
+    from .. import runtime
+
+    st, idat, expected = _walk_idat(data)
+    toks = runtime.inflate_tokens(idat, expected)
+    if toks is None:
+        raise UnsupportedError("png: native runtime required for device inflate")
+    lens, dists, lits, out_bytes = toks
+    if out_bytes != expected:
+        raise FormatError("png: inflated size mismatch")
+    return st, lens, dists, lits
 
 
 _JITTED: dict = {}
@@ -270,7 +299,8 @@ class BatchPngDecoder:
     only inflates; filtered bytes upload unchanged in size."""
 
     def __init__(self, mesh=None, n_threads: int | None = None,
-                 device_defilter: bool | None = None):
+                 device_defilter: bool | None = None,
+                 device_inflate: bool | None = None):
         import os
 
         self.mesh = mesh
@@ -278,6 +308,11 @@ class BatchPngDecoder:
         if device_defilter is None:
             device_defilter = os.environ.get("ZPIX_DEVICE_DEFILTER", "0") == "1"
         self.device_defilter = device_defilter
+        if device_inflate is None:
+            device_inflate = os.environ.get("ZPIX_DEVICE_INFLATE", "0") == "1"
+        # device_inflate subsumes device_defilter: the resolved bytes are
+        # already on device, so the filter recurrence runs there too.
+        self.device_inflate = device_inflate
 
     def _shard(self, arr):
         if self.mesh is None:
@@ -293,19 +328,20 @@ class BatchPngDecoder:
 
         if not datas:
             raise ValueError("png: empty batch")
+        front = parse_tokens if self.device_inflate else parse_filtered
         with trace("png_batch.inflate"):
             if len(datas) > 1 and (self.n_threads or 2) > 1:
-                # zlib.decompress releases the GIL: inflate images in
-                # parallel across the host cores
+                # Both front-ends release the GIL (zlib.decompress /
+                # the native tokenizer): run images in parallel
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=self.n_threads or 2) as ex:
-                    parsed = list(ex.map(parse_filtered, datas))
+                    parsed = list(ex.map(front, datas))
             else:
-                parsed = [parse_filtered(d) for d in datas]
+                parsed = [front(d) for d in datas]
         metrics.count("png_batch.images", len(datas))
         st0 = parsed[0][0]
-        for st, _ in parsed[1:]:
+        for st, *_ in parsed[1:]:
             if (st.width, st.height, st.color_depth) != (
                 st0.width,
                 st0.height,
@@ -336,7 +372,7 @@ class BatchPngDecoder:
             # (decoder.zig:1086-1130; Go pre-fills opaque black).
             pal = np.zeros((len(parsed), 256, 4), np.uint8)
             pal[:, :, 3] = 0xFF
-            for i, (st, _) in enumerate(parsed):
+            for i, (st, *_) in enumerate(parsed):
                 p = st.palette.astype(np.uint32)
                 is_n = st.palette_kinds == PALETTE_NRGBA
                 a = p[:, 3:4]
@@ -345,6 +381,69 @@ class BatchPngDecoder:
                 pal[i, : len(p), :3] = pre
                 pal[i, : len(p), 3] = p[:, 3]
             pal_dev = self._shard(pal)
+
+        if self.device_inflate:
+            # Two-pass inflate: host symbol-resolve tokens upload instead
+            # of inflated bytes; copy-resolve (ops/inflate.py), defilter,
+            # expansion, and any Adam7 merge are ONE device graph.
+            # Tokens stack [B, NT] (len-0 padding) so the resolve vmaps
+            # per image and shards on the batch axis.
+            import jax
+
+            from ..ops.defilter import defilter_jnp
+            from ..ops.inflate import resolve_tokens_jnp
+
+            bits = _BITS_PER_PIXEL[cd]
+            if st0.interlace:
+                seg_meta = []
+                for p in range(7):
+                    pw, ph = _pass_dims(st0.width, st0.height, p)
+                    if pw == 0 or ph == 0:
+                        continue
+                    rb = (bits * pw + 7) // 8
+                    seg_meta.append((p, pw, ph, rb))
+                per = sum(ph * (1 + rb) for _, _, ph, rb in seg_meta)
+            else:
+                per = h * (1 + row_bytes)
+            nt = max(len(pr[1]) for pr in parsed)
+            nt = max(4096, 1 << (nt - 1).bit_length())  # pow2: bound recompiles
+            B = len(parsed)
+            lens = np.zeros((B, nt), np.int32)
+            dists = np.zeros((B, nt), np.int32)
+            lits = np.zeros((B, nt), np.uint8)
+            for i, (_, ln, ds, lt) in enumerate(parsed):
+                lens[i, : len(ln)] = ln
+                dists[i, : len(ds)] = ds
+                lits[i, : len(lt)] = lt
+            lens, dists, lits = (
+                self._shard(lens), self._shard(dists), self._shard(lits)
+            )
+
+            def fused(L, D, C, palette):
+                flat = jax.vmap(
+                    lambda l, d, c: resolve_tokens_jnp(l, d, c, per)
+                )(L, D, C)
+                if st0.interlace:
+                    passes, meta, off = [], [], 0
+                    for p, pw, ph, rb in seg_meta:
+                        need = ph * (1 + rb)
+                        seg = flat[:, off : off + need].reshape(B, ph, 1 + rb)
+                        off += need
+                        meta.append((p, pw, ph))
+                        passes.append((seg[:, :, 1:], seg[:, :, 0]))
+                    return _interlaced_graph(
+                        cd, passes, palette, bpp=bpp, pass_meta=tuple(meta),
+                        width=st0.width, height=st0.height,
+                    )
+                stacked = flat.reshape(B, h, 1 + row_bytes)
+                dec = defilter_jnp(stacked[:, :, 1:], stacked[:, :, 0], bpp=bpp)
+                return _expand_graph(cd, dec, palette, width=st0.width)
+
+            fn = _jit(
+                f"png_devinf_{cd}_{st0.width}x{h}_{st0.interlace}_{B}_{nt}",
+                fused,
+            )
+            return fn(lens, dists, lits, pal_dev)
 
         if st0.interlace:
             # Adam7: per-pass device defilter + expansion + strided

@@ -22,9 +22,10 @@ _SRCS = [
     os.path.join(_HERE, "entropy.cpp"),
     os.path.join(_HERE, "defilter.cpp"),
     os.path.join(_HERE, "qoi.cpp"),
+    os.path.join(_HERE, "inflate.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 11
+_ABI_VERSION = 12
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -204,6 +205,18 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int32),  # bits_n_out
                 ctypes.POINTER(ctypes.c_int32),  # num_unreadable_out
             ]
+            lib.zpix_inflate_tokens.restype = ctypes.c_int64
+            lib.zpix_inflate_tokens.argtypes = [
+                ctypes.c_char_p,  # src
+                ctypes.c_int64,  # n
+                ctypes.c_int32,  # zlib_wrap
+                ctypes.POINTER(ctypes.c_int32),  # lens
+                ctypes.POINTER(ctypes.c_int32),  # dists
+                ctypes.POINTER(ctypes.c_uint8),  # lits
+                ctypes.c_int64,  # max_tokens
+                ctypes.c_int64,  # max_out
+                ctypes.POINTER(ctypes.c_int64),  # out_bytes
+            ]
             _lib = lib
             return _lib
         except OSError:
@@ -269,3 +282,41 @@ def zlib_decompress_sized(data: bytes, out_size: int):
     if rc != 0 or actual.value != out_size:
         return None
     return out.raw
+
+
+def inflate_tokens(data: bytes, expected_out: int, zlib_wrap: bool = True):
+    """DEFLATE symbol-resolve pass: bitstream -> LZ77 token arrays.
+
+    Returns (lens int32[nt], dists int32[nt], lits uint8[nt], out_bytes)
+    or None when the native library is unavailable.  Raises FormatError
+    on a malformed stream or when the stream inflates past expected_out
+    (PNG's IHDR fixes the exact size, so an overflow is corruption).
+    The copy-resolve half runs on device (ops/inflate.py).
+    """
+    import numpy as np
+
+    from ..errors import FormatError
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    # Every token produces >= 1 byte, so expected_out bounds the count.
+    max_tokens = expected_out + 1
+    lens = np.empty(max_tokens, np.int32)
+    dists = np.empty(max_tokens, np.int32)
+    lits = np.empty(max_tokens, np.uint8)
+    out_bytes = ctypes.c_int64(0)
+    nt = lib.zpix_inflate_tokens(
+        data,
+        len(data),
+        1 if zlib_wrap else 0,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_tokens,
+        expected_out,
+        ctypes.byref(out_bytes),
+    )
+    if nt < 0:
+        raise FormatError(f"zlib: invalid deflate stream (code {-nt})")
+    return lens[:nt], dists[:nt], lits[:nt], out_bytes.value
