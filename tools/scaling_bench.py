@@ -19,7 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual CPU mesh: the session env pins JAX_PLATFORMS=axon
+# (one real chip — reserved for bench clients, and a 1-device platform
+# cannot host the N-device mesh anyway).  SCALE_PLATFORM overrides for
+# a real pod slice.
+os.environ["JAX_PLATFORMS"] = os.environ.get("SCALE_PLATFORM", "cpu")
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
