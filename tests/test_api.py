@@ -88,3 +88,45 @@ def test_sub_image():
     assert np.array_equal(
         jsub2.rgba_pixels().reshape(30, 40, 4), jfull[10:40, 20:60]
     )
+
+
+def test_at_and_set_pixel():
+    """Per-type at() returns the Color.toRGBA premultiplied 16-bit tuple
+    (image.zig:54-66); set_pixel writes native channels; out-of-bounds
+    reads are the zero color and writes are no-ops, as in Go."""
+    import numpy as np
+
+    from zpix_tpu.image.geometry import Rectangle
+    from zpix_tpu.image.model import (
+        GrayImage, Gray16Image, NRGBAImage, RGBAImage, YCbCrImage,
+    )
+
+    g = GrayImage.init(Rectangle.init(0, 0, 4, 3))
+    g.set_pixel(1, 2, 200)
+    y16 = 200 * 0x101
+    assert g.at(1, 2) == (y16, y16, y16, 0xFFFF)
+    assert g.at(-1, 0) == (0, 0, 0, 0)
+    g.set_pixel(99, 99, 7)  # silently ignored
+
+    g16 = Gray16Image.init(Rectangle.init(0, 0, 2, 2))
+    g16.set_pixel(0, 1, 0x1234)
+    assert g16.at(0, 1) == (0x1234, 0x1234, 0x1234, 0xFFFF)
+
+    n = NRGBAImage.init(Rectangle.init(0, 0, 2, 2))
+    n.set_pixel(1, 0, (100, 50, 25, 128))
+    r, gg, b, a = n.at(1, 0)
+    # non-premultiplied -> premultiplied: (c|c<<8)*a/0xff
+    assert (r, gg, b) == tuple((c | (c << 8)) * 128 // 0xFF for c in (100, 50, 25))
+    assert a == 128 * 0x101
+
+    p = RGBAImage.init(Rectangle.init(0, 0, 2, 2))
+    p.set_pixel(0, 0, (9, 8, 7, 255))
+    assert p.at(0, 0) == (9 * 0x101, 8 * 0x101, 7 * 0x101, 0xFFFF)
+
+    yc = YCbCrImage.init(Rectangle.init(0, 0, 4, 4), "420")
+    yc.y[1, 1] = 90
+    assert yc.at(1, 1)[3] == 0xFFFF  # reads work through the plane copy
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        yc.set_pixel(0, 0, 1)

@@ -237,22 +237,91 @@ def test_batch_png_empty_batch(testdata):
         BatchPngDecoder().decode([])
 
 
-def test_batch_png_trns_colorkey_rejected(testdata):
-    """Color-key transparency still routes to the host decoder (the
-    batched expansion matrix covers paletted tRNS via the palette, not
-    the per-pixel key rewrite)."""
-    import io
+def _mk_png(cd: str, pix: np.ndarray, trns: bytes | None = None) -> bytes:
+    """Minimal PNG writer for color-key tests (filter 0 rows)."""
+    import struct
+    import zlib as _z
 
-    from PIL import Image
+    depth = {"g4": 4, "g8": 8, "g16": 16, "tc8": 8, "tc16": 16}[cd]
+    ctype = 0 if cd.startswith("g") else 2
+    h = pix.shape[0]
+    w = pix.shape[1]
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        if cd == "g4":
+            packed = bytearray()
+            vals = list(pix[y])
+            if len(vals) % 2:
+                vals.append(0)
+            for i in range(0, len(vals), 2):
+                packed.append((vals[i] << 4) | vals[i + 1])
+            rows += packed
+        elif depth == 16:
+            rows += pix[y].astype(">u2").tobytes()
+        else:
+            rows += pix[y].astype(np.uint8).tobytes()
 
-    from zpix_tpu.errors import UnsupportedError
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0))
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    out += chunk(b"IDAT", _z.compress(bytes(rows)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_batch_png_colorkey_parity():
+    """Gray/truecolor tRNS color keys through all three batched device
+    front-ends, vs the golden-validated host decode (key scaling and
+    16-bit pre-truncation compare semantics, decoder.zig:547-576).
+    Batches mix keyed and unkeyed images to prove per-image keys."""
+    from zpix_tpu import runtime
+    from zpix_tpu.codecs import png as png_codec
     from zpix_tpu.parallel.png_batch import BatchPngDecoder
 
-    g = (np.arange(16 * 16) % 256).astype(np.uint8).reshape(16, 16)
-    buf = io.BytesIO()
-    Image.fromarray(g, "L").save(buf, format="PNG", transparency=7)
-    with pytest.raises(UnsupportedError):
-        BatchPngDecoder().decode([buf.getvalue()])
+    rng = np.random.default_rng(7)
+    cases = []
+    g4 = rng.integers(0, 16, (9, 10), np.uint16)
+    g4[2, :] = 7
+    cases.append(("g4", g4, bytes([0, 7])))
+    g8 = rng.integers(0, 256, (8, 8), np.uint16)
+    g8[1, :] = 200
+    cases.append(("g8", g8, bytes([0, 200])))
+    g16 = rng.integers(0, 0x10000, (8, 8), np.uint16)
+    g16[3, :] = 0x1234
+    # 0x12EE truncates to the same 8-bit value but must stay opaque
+    g16[4, :] = 0x12EE
+    cases.append(("g16", g16, bytes([0x12, 0x34])))
+    tc8 = rng.integers(0, 256, (8, 8, 3), np.uint16)
+    tc8[2, 3] = (10, 20, 30)
+    cases.append(("tc8", tc8, bytes([0, 10, 0, 20, 0, 30])))
+    tc16 = rng.integers(0, 0x10000, (8, 8, 3), np.uint16)
+    tc16[5, 1] = (0x0102, 0x0304, 0x0506)
+    tc16[5, 2] = (0x0103, 0x0304, 0x0506)  # same high bytes, no match
+    cases.append(
+        ("tc16", tc16, bytes([0x01, 0x02, 0x03, 0x04, 0x05, 0x06]))
+    )
+
+    for cd, pix, trns in cases:
+        keyed = _mk_png(cd, pix, trns)
+        plain = _mk_png(cd, pix, None)
+        host = png_codec.decode(keyed)
+        want = host.rgba_pixels().reshape(host.height, host.width, 4)
+        host_p = png_codec.decode(plain)
+        want_p = host_p.rgba_pixels().reshape(want.shape)
+        assert not np.array_equal(want, want_p), f"{cd}: key never matched"
+        fronts = [dict(), dict(device_defilter=True)]
+        if runtime.get_lib() is not None:
+            fronts.append(dict(device_inflate=True))
+        for kw in fronts:
+            out = np.asarray(BatchPngDecoder(**kw).decode([keyed, plain]))
+            assert np.array_equal(out[0], want), (cd, kw)
+            assert np.array_equal(out[1], want_p), (cd, kw)
 
 
 def test_dryrun_multichip():

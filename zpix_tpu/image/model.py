@@ -132,6 +132,27 @@ class _BaseImage:
         out[..., 3] = (a >> 8).astype(np.uint8)
         return out.reshape(-1)
 
+    def at(self, x: int, y: int):
+        """Premultiplied 16-bit RGBA at (x, y) — the per-type at() +
+        Color.toRGBA chain (/root/reference/src/image/image.zig:54-66;
+        color.zig:31-132).  Out-of-bounds returns the zero color, as Go
+        does."""
+        r = self.rect
+        if not (r.min.x <= x < r.max.x and r.min.y <= y < r.max.y):
+            return (0, 0, 0, 0)
+        one = self.sub_image(Rectangle.init(x, y, x + 1, y + 1))
+        cr, cg, cb, ca = one.rgba16()
+        return (int(cr[0, 0]), int(cg[0, 0]), int(cb[0, 0]), int(ca[0, 0]))
+
+    def set_pixel(self, x: int, y: int, value) -> None:
+        """Write one pixel in the type's native channel layout (the
+        per-type set* accessors, image.zig: setRGBA/setGray/...).
+        No-op out of bounds, like the reference."""
+        r = self.rect
+        if not (r.min.x <= x < r.max.x and r.min.y <= y < r.max.y):
+            return
+        self.pix[y - r.min.y, x - r.min.x] = value
+
     def sub_image(self, r: Rectangle):
         """View of the intersection with ``r``, sharing pixel memory
         (per-type subImage, /root/reference/src/image/image.zig:153-176
@@ -349,6 +370,11 @@ class YCbCrImage(_BaseImage):
             ratio,
             rect,
         )
+
+    def set_pixel(self, x: int, y: int, value) -> None:
+        """The reference's YCbCr image (like Go's) has no setter; the
+        planes are written through y/cb/cr directly."""
+        raise TypeError("YCbCrImage has no per-pixel setter")
 
     @property
     def pix(self):  # pragma: no cover - convenience

@@ -23,9 +23,10 @@ state through the fixed-point iteration.  The two-pass split keeps the
 host's share at the irreducible bit-serial part and moves the
 data-parallel remainder (copy resolution onward) on chip.
 
-Covered depths: the full non-tRNS matrix (g1..g16, ga8/16, tc8/16,
-tca8/16, p1..p8 incl. paletted tRNS) + Adam7.  Color-key tRNS uses the
-host decoder.
+Covered depths: the full matrix (g1..g16, ga8/16, tc8/16, tca8/16,
+p1..p8) + Adam7 + tRNS in both forms (paletted alpha via the gather
+palette; gray/truecolor color keys as per-image [3] compare values,
+matched in the depth's native domain pre-truncation).
 """
 
 from __future__ import annotations
@@ -116,14 +117,28 @@ def _jit(name, fn, static=()):
     return _JITTED[name]
 
 
-def _expand_tc8(rows):
+def _keyed(jnp, px, match):
+    """Zero out key-matched pixels: NRGBA alpha-0 premultiplies to
+    (0,0,0,0) in rgba_pixels, so the RGBA8 output is all-zero there
+    (tRNS color key, decoder.zig:547-576 + the expansion arms)."""
+    if match is None:
+        return px
+    return jnp.where(match[..., None], jnp.uint8(0), px)
+
+
+def _expand_tc8(rows, key=None):
     """[B, H, W*3] uint8 -> [B, H, W, 4] RGBA8 opaque."""
     import jax.numpy as jnp
 
     b, h, wc = rows.shape
     rgb = rows.reshape(b, h, wc // 3, 3)
     a = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
-    return jnp.concatenate([rgb, a], axis=-1)
+    match = None
+    if key is not None:
+        match = jnp.all(
+            rgb.astype(jnp.int32) == key[:, None, None, :], axis=-1
+        )
+    return _keyed(jnp, jnp.concatenate([rgb, a], axis=-1), match)
 
 
 def _expand_tca8(rows):
@@ -141,13 +156,16 @@ def _expand_tca8(rows):
     return jnp.concatenate([rgb, a], axis=-1).astype(jnp.uint8)
 
 
-def _expand_g8(rows):
+def _expand_g8(rows, key=None):
     import jax.numpy as jnp
 
     b, h, w = rows.shape
     a = jnp.full((b, h, w, 1), 255, jnp.uint8)
     g = rows[..., None]
-    return jnp.concatenate([g, g, g, a], axis=-1)
+    match = None
+    if key is not None:
+        match = rows.astype(jnp.int32) == key[:, None, None, 0]
+    return _keyed(jnp, jnp.concatenate([g, g, g, a], axis=-1), match)
 
 
 def _expand_p8(rows, palette):
@@ -164,24 +182,31 @@ def _be16(jnp, rows, n):
     return (b[..., 0] << 8) | b[..., 1]
 
 
-def _expand_g16(rows, *, width):
-    """Gray16 -> premultiplied RGBA8 (y >> 8 per rgbaPixels semantics)."""
+def _expand_g16(rows, *, width, key=None):
+    """Gray16 -> premultiplied RGBA8 (y >> 8 per rgbaPixels semantics).
+    The color key compares in the 16-bit domain, before truncation."""
     import jax.numpy as jnp
 
-    y = (_be16(jnp, rows, width) >> 8).astype(jnp.uint8)
+    y16 = _be16(jnp, rows, width)
+    y = (y16 >> 8).astype(jnp.uint8)
     a = jnp.full(y.shape + (1,), 255, jnp.uint8)
     g = y[..., None]
-    return jnp.concatenate([g, g, g, a], axis=-1)
+    match = None if key is None else y16 == key[:, None, None, 0]
+    return _keyed(jnp, jnp.concatenate([g, g, g, a], axis=-1), match)
 
 
-def _expand_tc16(rows, *, width):
-    """RGB16 -> RGBA8 (channels >> 8)."""
+def _expand_tc16(rows, *, width, key=None):
+    """RGB16 -> RGBA8 (channels >> 8); key compares pre-truncation."""
     import jax.numpy as jnp
 
-    rgb = (_be16(jnp, rows, width * 3) >> 8).astype(jnp.uint8)
-    rgb = rgb.reshape(rgb.shape[0], rgb.shape[1], width, 3)
+    rgb16 = _be16(jnp, rows, width * 3)
+    rgb16 = rgb16.reshape(rgb16.shape[0], rgb16.shape[1], width, 3)
+    rgb = (rgb16 >> 8).astype(jnp.uint8)
     a = jnp.full(rgb.shape[:-1] + (1,), 255, jnp.uint8)
-    return jnp.concatenate([rgb, a], axis=-1)
+    match = None
+    if key is not None:
+        match = jnp.all(rgb16 == key[:, None, None, :], axis=-1)
+    return _keyed(jnp, jnp.concatenate([rgb, a], axis=-1), match)
 
 
 def _expand_tca16(rows, *, width):
@@ -218,12 +243,13 @@ def _expand_ga16(rows, *, width):
     return jnp.concatenate([g, g, g, (a >> 8).astype(jnp.uint8)], axis=-1)
 
 
-def _expand_lowbit_gray(rows, *, width, depth):
-    """g1/g2/g4 -> RGBA8 via device bit unpack + scale."""
+def _expand_lowbit_gray(rows, *, width, depth, key=None):
+    """g1/g2/g4 -> RGBA8 via device bit unpack + scale.  The key arrives
+    pre-scaled by _parse_trns's bit-depth multiplier, matching the host
+    comparison domain (decoder.zig:548-565)."""
     import jax.numpy as jnp
 
     bits = jnp.unpackbits(rows, axis=-1)  # [B, H, row_bytes*8]
-    per = 8 // depth
     grouped = bits.reshape(bits.shape[0], bits.shape[1], -1, depth).astype(jnp.int32)
     weights = (1 << jnp.arange(depth - 1, -1, -1, dtype=jnp.int32))
     vals = (grouped * weights).sum(axis=-1)[:, :, :width]
@@ -231,7 +257,10 @@ def _expand_lowbit_gray(rows, *, width, depth):
     y = (vals * scale).astype(jnp.uint8)
     a = jnp.full(y.shape + (1,), 255, jnp.uint8)
     g = y[..., None]
-    return jnp.concatenate([g, g, g, a], axis=-1)
+    match = None
+    if key is not None:
+        match = y.astype(jnp.int32) == key[:, None, None, 0]
+    return _keyed(jnp, jnp.concatenate([g, g, g, a], axis=-1), match)
 
 
 def _expand_lowbit_palette(rows, palette, *, width, depth):
@@ -246,7 +275,8 @@ def _expand_lowbit_palette(rows, palette, *, width, depth):
     return palette[batch_idx, idx]
 
 
-def _interlaced_graph(cd, passes, palette, *, bpp, pass_meta, width, height):
+def _interlaced_graph(cd, passes, palette, *, bpp, pass_meta, width, height,
+                      key=None):
     """Adam7 on device: per-pass wavefront defilter + expansion, then a
     strided scatter into the full canvas (mergePassInto,
     /root/reference/src/png/decoder.zig:1289-1373)."""
@@ -258,7 +288,7 @@ def _interlaced_graph(cd, passes, palette, *, bpp, pass_meta, width, height):
     canvas = jnp.zeros((B, height, width, 4), jnp.uint8)
     for (p, pw, ph), (rows, ft) in zip(pass_meta, passes):
         dec = defilter_jnp(rows, ft, bpp=bpp)
-        px = _expand_graph(cd, dec, palette, width=pw)
+        px = _expand_graph(cd, dec, palette, width=pw, key=key)
         xo, yo, xf, yf = INTERLACING[p]
         canvas = canvas.at[
             :, yo : yo + ph * yf : yf, xo : xo + pw * xf : xf
@@ -266,18 +296,19 @@ def _interlaced_graph(cd, passes, palette, *, bpp, pass_meta, width, height):
     return canvas
 
 
-def _expand_graph(cd: str, rows, palette, *, width: int):
-    """Shared expansion dispatch: defiltered rows -> RGBA8 device graph."""
+def _expand_graph(cd: str, rows, palette, *, width: int, key=None):
+    """Shared expansion dispatch: defiltered rows -> RGBA8 device graph.
+    key: [B, 3] int32 per-image tRNS color key (-1 rows = opaque)."""
     if cd == "tc8":
-        return _expand_tc8(rows)
+        return _expand_tc8(rows, key=key)
     if cd == "tca8":
         return _expand_tca8(rows)
     if cd == "g8":
-        return _expand_g8(rows)
+        return _expand_g8(rows, key=key)
     if cd == "g16":
-        return _expand_g16(rows, width=width)
+        return _expand_g16(rows, width=width, key=key)
     if cd == "tc16":
-        return _expand_tc16(rows, width=width)
+        return _expand_tc16(rows, width=width, key=key)
     if cd == "tca16":
         return _expand_tca16(rows, width=width)
     if cd == "ga8":
@@ -285,7 +316,7 @@ def _expand_graph(cd: str, rows, palette, *, width: int):
     if cd == "ga16":
         return _expand_ga16(rows, width=width)
     if cd in ("g1", "g2", "g4"):
-        return _expand_lowbit_gray(rows, width=width, depth=int(cd[1]))
+        return _expand_lowbit_gray(rows, width=width, depth=int(cd[1]), key=key)
     if cd == "p8":
         return _expand_p8(rows, palette)
     return _expand_lowbit_palette(rows, palette, width=width, depth=int(cd[1]))
@@ -353,8 +384,35 @@ class BatchPngDecoder:
             "g1", "g2", "g4", "g8", "g16", "ga8", "ga16",
             "tc8", "tc16", "tca8", "tca16", "p1", "p2", "p4", "p8",
         }
-        if cd not in supported or st0.use_transparent:
+        if cd not in supported:
             raise UnsupportedError(f"png: batched path does not cover {cd}")
+
+        # tRNS color key: per-image [3] comparison values in the depth's
+        # native domain (-1 = no key, never matches unsigned samples);
+        # the expansion arms zero matching pixels (decoder.zig:547-576).
+        key_dev = None
+        if any(pr[0].use_transparent for pr in parsed):
+            key = np.full((len(parsed), 3), -1, np.int32)
+            for i, pr in enumerate(parsed):
+                st = pr[0]
+                if not st.use_transparent:
+                    continue
+                t = st.transparent
+                if cd in ("g1", "g2", "g4", "g8"):
+                    key[i] = t[1]  # pre-scaled by _parse_trns
+                elif cd == "g16":
+                    key[i] = (t[0] << 8) | t[1]
+                elif cd == "tc8":
+                    key[i] = (t[1], t[3], t[5])
+                elif cd == "tc16":
+                    key[i] = (
+                        (t[0] << 8) | t[1],
+                        (t[2] << 8) | t[3],
+                        (t[4] << 8) | t[5],
+                    )
+                else:  # pragma: no cover — _parse_trns rejects these
+                    raise UnsupportedError(f"png: tRNS with {cd}")
+            key_dev = self._shard(key)
 
         bpp_bits = _BITS_PER_PIXEL[cd]
         bpp = (bpp_bits + 7) // 8
@@ -419,7 +477,7 @@ class BatchPngDecoder:
                 self._shard(lens), self._shard(dists), self._shard(lits)
             )
 
-            def fused(L, D, C, palette):
+            def fused(L, D, C, palette, key):
                 flat = jax.vmap(
                     lambda l, d, c: resolve_tokens_jnp(l, d, c, per)
                 )(L, D, C)
@@ -433,17 +491,18 @@ class BatchPngDecoder:
                         passes.append((seg[:, :, 1:], seg[:, :, 0]))
                     return _interlaced_graph(
                         cd, passes, palette, bpp=bpp, pass_meta=tuple(meta),
-                        width=st0.width, height=st0.height,
+                        width=st0.width, height=st0.height, key=key,
                     )
                 stacked = flat.reshape(B, h, 1 + row_bytes)
                 dec = defilter_jnp(stacked[:, :, 1:], stacked[:, :, 0], bpp=bpp)
-                return _expand_graph(cd, dec, palette, width=st0.width)
+                return _expand_graph(cd, dec, palette, width=st0.width, key=key)
 
             fn = _jit(
-                f"png_devinf_{cd}_{st0.width}x{h}_{st0.interlace}_{B}_{nt}",
+                f"png_devinf_{cd}_{st0.width}x{h}_{st0.interlace}_{B}_{nt}"
+                f"_k{key_dev is not None}",
                 fused,
             )
-            return fn(lens, dists, lits, pal_dev)
+            return fn(lens, dists, lits, pal_dev, key_dev)
 
         if st0.interlace:
             # Adam7: per-pass device defilter + expansion + strided
@@ -468,13 +527,14 @@ class BatchPngDecoder:
                     self._shard(np.ascontiguousarray(seg[:, :, 0])),
                 ))
             fn = _jit(
-                f"png_adam7_{cd}_{st0.width}x{st0.height}_{len(datas)}",
-                lambda ps, pal: _interlaced_graph(
+                f"png_adam7_{cd}_{st0.width}x{st0.height}_{len(datas)}"
+                f"_k{key_dev is not None}",
+                lambda ps, pal, key: _interlaced_graph(
                     cd, ps, pal, bpp=bpp, pass_meta=tuple(meta),
-                    width=st0.width, height=st0.height,
+                    width=st0.width, height=st0.height, key=key,
                 ),
             )
-            return fn(passes, pal_dev)
+            return fn(passes, pal_dev, key_dev)
 
         if self.device_defilter:
             # Filter bytes stay in the upload (same byte count); defilter
@@ -490,12 +550,14 @@ class BatchPngDecoder:
             ftypes = self._shard(np.ascontiguousarray(stacked[:, :, 0]))
             raw_rows = self._shard(np.ascontiguousarray(stacked[:, :, 1:]))
 
-            def fused(rows, ft, palette):
+            def fused(rows, ft, palette, key):
                 dec = defilter_jnp(rows, ft, bpp=bpp)
-                return _expand_graph(cd, dec, palette, width=st0.width)
+                return _expand_graph(cd, dec, palette, width=st0.width, key=key)
 
-            fn = _jit(f"png_dev_{cd}_{bpp}_{st0.width}", fused)
-            return fn(raw_rows, ftypes, pal_dev)
+            fn = _jit(
+                f"png_dev_{cd}_{bpp}_{st0.width}_k{key_dev is not None}", fused
+            )
+            return fn(raw_rows, ftypes, pal_dev, key_dev)
 
         lib = runtime.get_lib()
         outs = np.empty((len(datas), h, row_bytes), np.uint8)
@@ -523,6 +585,7 @@ class BatchPngDecoder:
                     outs[i] = defilter(raw, h, row_bytes, bpp)
 
         rows = self._shard(outs)
-        fn = _jit(f"png_host_{cd}_{st0.width}",
-                  lambda r, p: _expand_graph(cd, r, p, width=st0.width))
-        return fn(rows, pal_dev)
+        fn = _jit(f"png_host_{cd}_{st0.width}_k{key_dev is not None}",
+                  lambda r, p, key: _expand_graph(
+                      cd, r, p, width=st0.width, key=key))
+        return fn(rows, pal_dev, key_dev)
