@@ -300,6 +300,50 @@ def main_png(batch: int, size: int, steps: int):
     return steps * mpix / best
 
 
+def main_sync(batch: int, size: int, steps: int):
+    """On-chip decode of restart-FREE baseline JPEGs: speculative chunk
+    self-synchronization with exact verification (device_entropy_sync).
+    The hard case — no restart markers to cut the bitstream at."""
+    import jax
+    import jax.numpy as jnp
+
+    from zpix_tpu.parallel.device_entropy_sync import SyncJpegDecoder
+
+    mpix = batch * size * size / 1e6
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    pools = [
+        [make_bench_jpeg(size, seed=s * batch + j) for j in range(batch)]
+        for s in range(steps * trials)
+    ]
+    cb = int(os.environ.get("BENCH_SYNC_CHUNK", "256"))
+    dec = SyncJpegDecoder(chunk_bytes=cb)
+    digest = make_digest()
+
+    @jax.jit
+    def dig(acc, out):
+        return digest(acc, out)
+
+    out, ok = dec.decode(pools[0])
+    acc = dig(jnp.uint32(0), out)
+    _ = int(acc)  # warm compile
+    assert bool(ok), "sync decode failed on warmup batch"
+    best = float("inf")
+    for t in range(trials):
+        t0 = time.perf_counter()
+        acc = jnp.uint32(t + 1)
+        for i in range(steps):
+            out, ok = dec.decode(pools[(t * steps + i) % len(pools)])
+            acc = dig(acc, out)
+        _ = int(acc)
+        best = min(best, time.perf_counter() - t0)
+    print(
+        f"# sync (restart-free) on-chip path | batch={batch} size={size} "
+        f"steps={steps} chunk={cb} backend={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    return steps * mpix / best
+
+
 def make_bench_qoi(size: int = 1024, seed: int = 0) -> bytes:
     """Structured RGBA8 QOI stream with distinct content per seed."""
     from zpix_tpu.codecs.qoi.encode import Desc, encode
@@ -400,6 +444,21 @@ def main():
             json.dumps(
                 {
                     "metric": "batched QOI decode (on-chip speculative scan)",
+                    "value": round(mpix_s, 1),
+                    "unit": "MPix/s/chip",
+                    "vs_baseline": round(mpix_s / 2000.0, 4),
+                }
+            )
+        )
+        return
+
+    if os.environ.get("BENCH_MODE", "onchip") == "sync":
+        mpix_s = main_sync(batch, size, steps)
+        print(
+            json.dumps(
+                {
+                    "metric": "batched restart-free JPEG decode "
+                    "(on-chip speculative sync)",
                     "value": round(mpix_s, 1),
                     "unit": "MPix/s/chip",
                     "vs_baseline": round(mpix_s / 2000.0, 4),

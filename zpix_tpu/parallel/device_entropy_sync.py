@@ -141,6 +141,10 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
         [(o + len(s)) * 8 for o, s in zip(offs, streams)], np.int64
     )
     n_chunks = (max(len(s) for s in streams) + chunk_bytes - 1) // chunk_bytes
+    # Bucket the chunk count (extra chunks start past img_bit_end and
+    # stay inactive): distinct-content batches then share compiled
+    # programs instead of recompiling per scan length.
+    n_chunks = (n_chunks + 31) // 32 * 32
 
     ratio = "gray"
     if nc >= 3:
@@ -455,7 +459,7 @@ class SyncJpegDecoder:
     def decode_coefficients(self, plan: SyncPlan):
         import jax
 
-        key = (plan.cache_key, int(plan.stream.shape[0]))
+        key = (plan.cache_key, int(plan.stream.shape[0]), plan.n_chunks)
         fn = self._fns.get(key)
         if fn is None:
             fn = build_sync_decode_fn(plan, k_syms=self.k_syms,
@@ -482,7 +486,8 @@ class SyncJpegDecoder:
         with trace("jpeg_sync.prep"):
             plan = prep_batch_sync(datas, self.chunk_bytes)
         metrics.count("jpeg_sync.images", len(datas))
-        key = ("fused", plan.cache_key, int(plan.stream.shape[0]))
+        key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
+               plan.n_chunks)
         fn = self._fns.get(key)
         if fn is None:
             body = build_sync_decode_fn(plan, k_syms=self.k_syms,
