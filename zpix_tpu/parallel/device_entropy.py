@@ -55,7 +55,10 @@ _DEF_W1 = int(os.environ.get("ZPIX_ONCHIP_W1", "8"))
 _DEF_SPLIT_WIN = os.environ.get("ZPIX_ONCHIP_SPLIT_WIN", "0") == "1"
 # split16 value-pass store: int16 AC + separate int32 DC row (halves the
 # hot [64, L2] while-loop carry traffic; exact — AC extend <= 15 bits)
-_DEF_I16 = os.environ.get("ZPIX_ONCHIP_I16", "0") == "1"
+# split16 value-pass store: default ON — measured 9.2 vs 10.3 ms/step
+# interleaved A/B on the real chip (tools/ab_bench.py 2026-08-20,
+# planar vs i16planar; p1_i16 on top LOST, 9.4 ms, and stays off)
+_DEF_I16 = os.environ.get("ZPIX_ONCHIP_I16", "1") == "1"
 # pass-1 int16 relative block-ends (auto-disabled for long segments)
 _DEF_P1I16 = os.environ.get("ZPIX_ONCHIP_P1I16", "0") == "1"
 # uint8 stage-boundary optimization barriers in the SoA back-end
