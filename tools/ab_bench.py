@@ -88,6 +88,19 @@ VARIANTS = {
     "p1i16planar": dict(packed=True, _prefetch=True, planar=True, p1_i16=True),
     "alli16planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
                          p1_i16=True),
+    # round 2 around the i16 winner: unroll width x restart interval x batch
+    "i16k12planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
+                         k_syms=12, win_words=5),
+    "i16k20planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
+                         k_syms=20, win_words=6),
+    "i16k24planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
+                         k_syms=24, win_words=8),
+    "i16dri16planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
+                           _dri=16),
+    "i16b24planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
+                         _batch=24),
+    "i16b32planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
+                         _batch=32),
 }
 
 
