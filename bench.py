@@ -151,8 +151,11 @@ def main_onchip(batch: int, size: int, steps: int):
     # 128-lane register row); measured ~2% faster end to end
     # (tools/ab_bench.py planb16 vs noup, 2026-08-20).
     planar = os.environ.get("BENCH_PLANAR", "1") == "1"
-    i16 = os.environ.get("ZPIX_ONCHIP_I16", "0") == "1"
-    dec = DeviceJpegDecoder(planar=planar, i16=i16)
+    # i16 follows the module default (on since the 2026-08-20 A/B:
+    # 10.3 -> 9.2 ms/step); ZPIX_ONCHIP_I16=0 still forces it off.
+    i16_env = os.environ.get("ZPIX_ONCHIP_I16")
+    dec = DeviceJpegDecoder(planar=planar,
+                            i16=None if i16_env is None else i16_env == "1")
     digest = make_digest()
     plan0 = prep_batch(pools[0])
     fused0 = dec._fused(plan0)
