@@ -121,7 +121,9 @@ def main_onchip(batch: int, size: int, steps: int):
     # number are printed to stderr alongside.  BENCH_STAGED=0 restores
     # upload-in-loop timing.
     staged = os.environ.get("BENCH_STAGED", "1") == "1"
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    # best-of-4: inter-process timing drift on the tunneled chip is
+    # +-20% (CLAUDE.md); one extra sample tightens the best-of estimate
+    trials = int(os.environ.get("BENCH_TRIALS", "4"))
     # distinct content per (trial, step): the backend replays cached
     # results for repeated (program, inputs)
     pools = make_pools(steps * (trials if staged else 1), batch, size,
