@@ -562,3 +562,29 @@ def test_batch_png_device_inflate_sharded(testdata):
     want = host.rgba_pixels().reshape(host.height, host.width, 4)
     for i in range(8):
         assert np.array_equal(out[i], want)
+
+
+def test_batch_png_rejects_mixed_interlace(png_dir):
+    """Interlaced and non-interlaced images of identical dims must not
+    mix in one batch: the layouts differ (per-pass row framing), so the
+    compat check includes st.interlace (advisor finding, round 2)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    from zpix_tpu.parallel.png_batch import BatchPngDecoder, _walk_idat
+
+    with open(os.path.join(png_dir, "basn3p04-31i.png"), "rb") as f:
+        inter = f.read()
+    # Non-interlaced twin: same dims and p4 depth, interlace=0.
+    img = Image.open(BytesIO(inter))
+    buf = BytesIO()
+    img.save(buf, format="PNG", bits=4)
+    plain = buf.getvalue()
+    st_i, st_p = _walk_idat(inter)[0], _walk_idat(plain)[0]
+    assert (st_i.interlace, st_p.interlace) == (1, 0)
+    assert (st_i.width, st_i.height, st_i.color_depth) == (
+        st_p.width, st_p.height, st_p.color_depth,
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        BatchPngDecoder().decode([inter, plain])

@@ -86,3 +86,40 @@ def test_device_qoi_mixed_stream_lengths():
     out = np.asarray(out)
     for i, d in enumerate(datas):
         assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"
+
+
+def test_encode_device_byte_identical():
+    """On-device encoder must emit byte-identical streams to the serial
+    emission (encoder.zig:29-132 semantics) over every op class, both
+    channel counts, and the end-of-stream run flush."""
+    from zpix_tpu.parallel.qoi_batch import encode_device
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 40
+    imgs = _images()
+    # alpha variation (OP_RGBA) and a trailing run (tail flush)
+    av = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    av[..., 3] = rng.integers(0, 3, (h, w)) * 127
+    tr = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    tr[h // 2 :] = 9
+    imgs += [av, tr]
+    for i, img in enumerate(imgs):
+        d = Desc(w, h, 4, 0)
+        assert encode_device(img, d) == encode(img, d), f"image {i}"
+    d3 = Desc(w, h, 3, 0)
+    rgb = imgs[0][..., :3]
+    assert encode_device(rgb, d3) == encode(rgb, d3)
+
+
+def test_encode_device_batch_roundtrip():
+    """vmapped batch encode: byte-identical per image, and the streams
+    decode back to the input pixels (lossless roundtrip)."""
+    from zpix_tpu.parallel.qoi_batch import encode_device_batch
+
+    imgs = _images()
+    h, w = imgs[0].shape[:2]
+    descs = [Desc(w, h, 4, 0)] * len(imgs)
+    outs = encode_device_batch(imgs, descs)
+    for i, (img, data) in enumerate(zip(imgs, outs)):
+        assert data == encode(img, descs[i]), f"image {i}"
+        assert np.array_equal(host_decode(data).pix, img), f"image {i}"

@@ -327,7 +327,16 @@ class BatchPngDecoder:
 
     device_defilter=True moves the per-row filter recurrence onto the
     chip too (ops/defilter.py wavefront scan, exact) — the host then
-    only inflates; filtered bytes upload unchanged in size."""
+    only inflates; filtered bytes upload unchanged in size.
+
+    Corrupt-input strictness differs by front-end: the host front-ends
+    (libdeflate/zlib, like the reference's std.compress.flate) reject a
+    stream whose zlib adler32 trailer doesn't match, while the
+    device_inflate tokenizer (runtime/inflate.cpp) never materializes
+    the inflated bytes on the host and skips that checksum — a
+    checksum-corrupted-but-structurally-valid stream decodes
+    successfully there.  Structural errors (bad Huffman codes, length
+    mismatches) are still rejected by every front-end."""
 
     def __init__(self, mesh=None, n_threads: int | None = None,
                  device_defilter: bool | None = None,
@@ -373,12 +382,20 @@ class BatchPngDecoder:
         metrics.count("png_batch.images", len(datas))
         st0 = parsed[0][0]
         for st, *_ in parsed[1:]:
-            if (st.width, st.height, st.color_depth) != (
+            # interlace is part of the layout contract: with
+            # device_inflate=True the per-image token totals differ
+            # between interlaced and non-interlaced streams of the same
+            # dims, so a mixed batch would silently decode wrong pixels
+            # instead of raising.
+            if (st.width, st.height, st.color_depth, st.interlace) != (
                 st0.width,
                 st0.height,
                 st0.color_depth,
+                st0.interlace,
             ):
-                raise ValueError("batch images must share (width, height, depth)")
+                raise ValueError(
+                    "batch images must share (width, height, depth, interlace)"
+                )
         cd = st0.color_depth
         supported = {
             "g1", "g2", "g4", "g8", "g16", "ga8", "ga16",

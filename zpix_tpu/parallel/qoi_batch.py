@@ -389,3 +389,217 @@ class BatchQoiDecoder:
         from ..codecs.qoi.decode import decode as host_decode
 
         return np.stack([host_decode(d).pix for d in datas])
+
+
+# ---------------------------------------------------------------------------
+# On-device QOI ENCODE — the jnp twin of codecs/qoi/encode_vec.py.
+#
+# Same derivation (see that module's docstring for the proofs): runs are
+# shifted compares, INDEX hits reduce to "equals the previous literal in
+# my hash bucket" (one stable sort), DIFF/LUMA are elementwise, and the
+# byte stream assembles by cumsum offsets + masked drop-mode scatters.
+# Reference op semantics: /root/reference/src/qoi/encoder.zig:29-132.
+# ---------------------------------------------------------------------------
+
+
+def _encode_core(px, cap: int):
+    """px: [n] uint32 packed 0xRRGGBBAA -> (out [cap+1] uint8, total i32).
+
+    out[:total] are exactly the op-stream bytes the serial encoder emits
+    (no header/padding).  The buffer has one slack slot at index `cap`
+    used as the drop target for masked scatters.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32, u32, u8 = jnp.int32, jnp.uint32, jnp.uint8
+    n = px.shape[0]
+    prev = jnp.concatenate([jnp.array([0x000000FF], u32), px[:-1]])
+    is_run = px == prev
+    lit = ~is_run
+
+    r = (px >> 24).astype(i32)
+    g = ((px >> 16) & 0xFF).astype(i32)
+    b = ((px >> 8) & 0xFF).astype(i32)
+    a = (px & 0xFF).astype(i32)
+    pr = (prev >> 24).astype(i32)
+    pg = ((prev >> 16) & 0xFF).astype(i32)
+    pb = ((prev >> 8) & 0xFF).astype(i32)
+    pa = (prev & 0xFF).astype(i32)
+    h = (r * 3 + g * 5 + b * 7 + a * 11) & 63
+
+    # INDEX hit: previous literal in the same hash bucket equals me
+    # (bucket's first literal compares against the zero-initialized
+    # table).  Run members sort to a sentinel bucket past every real one.
+    key = jnp.where(lit, h, 64)
+    order = jnp.argsort(key, stable=True)
+    sh = key[order]
+    sv = px[order]
+    prev_v = jnp.concatenate([jnp.zeros(1, u32), sv[:-1]])
+    same_bucket = jnp.concatenate(
+        [jnp.zeros(1, bool), sh[1:] == sh[:-1]]
+    )
+    bucket_prev = jnp.where(same_bucket, prev_v, u32(0))
+    hit_sorted = (bucket_prev == sv) & (sh < 64)
+    hit = jnp.zeros(n, bool).at[order].set(hit_sorted)
+
+    vr = r - pr
+    vg = g - pg
+    vb = b - pb
+    vg_r = vr - vg
+    vg_b = vb - vg
+    same_a = a == pa
+    can_diff = (
+        same_a
+        & (-3 < vr) & (vr < 2)
+        & (-3 < vg) & (vg < 2)
+        & (-3 < vb) & (vb < 2)
+    )
+    can_luma = (
+        same_a
+        & (-9 < vg_r) & (vg_r < 8)
+        & (-33 < vg) & (vg < 32)
+        & (-9 < vg_b) & (vg_b < 8)
+    )
+
+    miss = lit & ~hit
+    kind = jnp.zeros(n, jnp.int8)
+    kind = jnp.where(lit & hit, 1, kind)
+    kind = jnp.where(miss & can_diff, 2, kind)
+    kind = jnp.where(miss & ~can_diff & can_luma, 3, kind)
+    kind = jnp.where(miss & ~can_diff & ~can_luma & same_a, 4, kind)
+    kind = jnp.where(miss & ~can_diff & ~can_luma & ~same_a, 5, kind)
+
+    # Run bookkeeping: position within each maximal run segment via a
+    # cummax over segment-start indices (encoder.zig's `run` counter).
+    iarr = jnp.arange(n, dtype=i32)
+    run_start = is_run & jnp.concatenate([jnp.ones(1, bool), ~is_run[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(run_start, iarr, i32(-1)))
+    pos_in_seg = jnp.where(is_run, iarr - seg_start + 1, 0)
+    flush62 = is_run & (pos_in_seg % 62 == 0)  # RUN(62) at 62-boundaries
+    prev_runlen = jnp.concatenate([jnp.zeros(1, i32), pos_in_seg[:-1]])
+    prev_isrun = jnp.concatenate([jnp.zeros(1, bool), is_run[:-1]])
+    run_before = jnp.where(lit & prev_isrun, prev_runlen % 62, 0)
+    tail_flush = jnp.where(is_run[-1], pos_in_seg[-1] % 62, 0)
+
+    sizes = jnp.array([0, 1, 1, 2, 4, 5], i32)[kind.astype(i32)]
+    sizes = sizes + flush62.astype(i32) + (run_before > 0).astype(i32)
+    offs = jnp.cumsum(sizes) - sizes
+    total = offs[-1] + sizes[-1]
+
+    out = jnp.zeros(cap + 1, u8)
+
+    def put(buf, idx, val, mask):
+        return buf.at[jnp.where(mask, idx, cap)].set(
+            val.astype(u8), mode="drop"
+        )
+
+    out = put(out, offs, jnp.full(n, 0xC0 | 61, i32), flush62)
+    out = put(out, offs, 0xC0 | (run_before - 1), run_before > 0)
+    lo = offs + (run_before > 0)  # literal bytes follow the flush byte
+    k = kind
+    out = put(out, lo, h, k == 1)
+    out = put(
+        out, lo, 0x40 | ((vr + 2) << 4) | ((vg + 2) << 2) | (vb + 2), k == 2
+    )
+    out = put(out, lo, 0x80 | (vg + 32), k == 3)
+    out = put(out, lo + 1, ((vg_r + 8) << 4) | (vg_b + 8), k == 3)
+    out = put(out, lo, jnp.full(n, 0xFE, i32), k == 4)
+    is45 = (k == 4) | (k == 5)
+    out = put(out, lo + 1, r, is45)
+    out = put(out, lo + 2, g, is45)
+    out = put(out, lo + 3, b, is45)
+    out = put(out, lo, jnp.full(n, 0xFF, i32), k == 5)
+    out = put(out, lo + 4, a, k == 5)
+    # end-of-stream residual run flush (encoder.zig's i == n-1 emission)
+    out = out.at[jnp.where(tail_flush > 0, total, cap)].set(
+        (0xC0 | (tail_flush - 1)).astype(u8), mode="drop"
+    )
+    return out, total + (tail_flush > 0).astype(i32)
+
+
+_ENC_FNS: dict = {}
+
+
+def _encode_fn(n: int, batched: bool):
+    key = (n, batched)
+    fn = _ENC_FNS.get(key)
+    if fn is None:
+        import jax
+
+        cap = 5 * n + n // 62 + 8
+        core = lambda px: _encode_core(px, cap)  # noqa: E731
+        fn = jax.jit(jax.vmap(core) if batched else core)
+        _ENC_FNS[key] = fn
+    return fn
+
+
+def _pack_px(pixels, desc) -> np.ndarray:
+    n = desc.width * desc.height
+    pix = np.asarray(pixels, np.uint8).reshape(-1)
+    from ..errors import FormatError as FE
+
+    if len(pix) < n * desc.channels:
+        raise FE("qoi: pixel buffer too small")
+    c = pix[: n * desc.channels].reshape(n, desc.channels).astype(np.uint32)
+    a = c[:, 3] if desc.channels == 4 else np.full(n, 255, np.uint32)
+    return (c[:, 0] << 24) | (c[:, 1] << 16) | (c[:, 2] << 8) | a
+
+
+def encode_device(pixels, desc) -> bytes:
+    """On-device QOI encode: byte-identical to codecs/qoi/encode.encode().
+
+    The op planning and byte assembly run as one jitted graph on the
+    default backend; the host only packs input pixels and prepends the
+    header / appends the 8-byte padding.
+    """
+    import struct
+
+    from ..codecs.qoi.decode import QOI_PIXELS_MAX
+    from ..errors import FormatError as FE
+
+    if (
+        desc.width == 0
+        or desc.height == 0
+        or desc.channels not in (3, 4)
+        or desc.colorspace > 1
+        or desc.height >= QOI_PIXELS_MAX // desc.width
+    ):
+        raise FE("qoi: bad encode descriptor")
+    px = _pack_px(pixels, desc)
+    out, total = _encode_fn(px.shape[0], batched=False)(px)
+    header = struct.pack(
+        ">IIIBB", 0x716F6966, desc.width, desc.height, desc.channels,
+        desc.colorspace,
+    )
+    return header + np.asarray(out)[: int(total)].tobytes() + (
+        b"\x00" * 7 + b"\x01"
+    )
+
+
+def encode_device_batch(pixel_batch, descs) -> list[bytes]:
+    """Batched on-device encode: one vmapped graph over same-size images.
+
+    pixel_batch: [B, ...] uint8; descs: per-image Desc sharing
+    width/height/channels.  Returns the per-image encoded bytes."""
+    import struct
+
+    d0 = descs[0]
+    if any(
+        (d.width, d.height, d.channels) != (d0.width, d0.height, d0.channels)
+        for d in descs
+    ):
+        raise UnsupportedError("qoi: encode batch must share geometry")
+    px = np.stack([_pack_px(p, d) for p, d in zip(pixel_batch, descs)])
+    outs, totals = _encode_fn(px.shape[1], batched=True)(px)
+    outs = np.asarray(outs)
+    totals = np.asarray(totals)
+    res = []
+    for i, d in enumerate(descs):
+        header = struct.pack(
+            ">IIIBB", 0x716F6966, d.width, d.height, d.channels, d.colorspace
+        )
+        res.append(
+            header + outs[i, : int(totals[i])].tobytes() + b"\x00" * 7 + b"\x01"
+        )
+    return res
