@@ -588,3 +588,60 @@ def test_batch_png_rejects_mixed_interlace(png_dir):
     )
     with pytest.raises(ValueError, match="interlace"):
         BatchPngDecoder().decode([inter, plain])
+
+
+def test_decode_mixed_corpus():
+    """Ragged-batch bucketing (SURVEY hard-part 4): one API call over a
+    mixed real-file corpus — formats, geometries, color depths, and
+    progressive/baseline all in one list — parity per file against the
+    host rgba_pixels flatten."""
+    import glob
+
+    import zpix_tpu
+    from zpix_tpu.codecs.qoi.encode import Desc, encode
+    from zpix_tpu.parallel.bucketing import load_batch, plan_buckets
+
+    td = "/root/reference/src/testdata"
+    paths = [
+        os.path.join(td, "video-001.jpeg"),
+        os.path.join(td, "video-001.progressive.jpeg"),
+        os.path.join(td, "video-005.gray.jpeg"),
+        os.path.join(td, "video-001.bmp"),
+        os.path.join(td, "bmp_4bpp.bmp"),
+        os.path.join(td, "png", "basn2c08.png"),
+        os.path.join(td, "png", "basn6a08.png"),
+        os.path.join(td, "png", "basn3p04-31i.png"),
+        os.path.join(td, "png", "basn0g01-30.png"),
+        # same-geometry pair: must land in ONE bucket
+        os.path.join(td, "png", "basn2c16.png"),
+        os.path.join(td, "png", "basn6a16.png"),
+    ]
+    bufs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            bufs.append(f.read())
+    # one QOI leg (no .qoi files in the corpus): encode a decoded image
+    img = zpix_tpu.load(paths[5])
+    px = np.asarray(img.rgba_pixels(), np.uint8).reshape(
+        img.height, img.width, 4
+    )
+    qoi_data = encode(px, Desc(img.width, img.height, 4, 0))
+    bufs.append(qoi_data)
+
+    buckets = plan_buckets(bufs)
+    kinds = {k[0] for k in buckets}
+    assert kinds == {"png", "jpeg", "bmp", "qoi"}
+
+    outs = load_batch(paths)
+    outs.append(
+        __import__("zpix_tpu.parallel.bucketing", fromlist=["decode_mixed"])
+        .decode_mixed([qoi_data])[0]
+    )
+    for p, out in zip(paths + ["<qoi>"], outs):
+        data = bufs[(paths + ["<qoi>"]).index(p)]
+        ref = zpix_tpu.from_buffer(data)
+        want = np.asarray(ref.rgba_pixels(), np.uint8).reshape(
+            ref.height, ref.width, 4
+        )
+        assert out.shape == want.shape, p
+        assert np.array_equal(out, want), p

@@ -12,6 +12,7 @@ All device work is one jitted XLA graph per (shape, ratio) bucket.
 
 from .mesh import make_mesh, batch_sharding
 from .batch import BatchJpegDecoder, decode_batch_ycbcr_to_rgb
+from .bucketing import decode_mixed, load_batch, plan_buckets
 from .device_entropy import DeviceJpegDecoder
 from .device_entropy_sync import SyncJpegDecoder
 from .png_batch import BatchPngDecoder
@@ -30,4 +31,7 @@ __all__ = [
     "DeviceJpegDecoder",
     "SyncJpegDecoder",
     "decode_batch_ycbcr_to_rgb",
+    "decode_mixed",
+    "load_batch",
+    "plan_buckets",
 ]

@@ -1,0 +1,208 @@
+"""Ragged-batch bucketing: decode a mixed corpus through ONE call.
+
+SURVEY.md hard-part 4: images, scans, and rows have data-dependent
+sizes, but every batched device graph wants same-shape inputs.  This
+planner probes each encoded image's header (cheap, no pixel work),
+groups the list into per-codec compatibility buckets, decodes each
+bucket through its batched device decoder, and falls back to the host
+decoder for anything a batched path doesn't cover — returning
+per-input premultiplied RGBA8 [H, W, 4] arrays in input order (the
+``rgba_pixels`` flatten, /root/reference/src/image/image.zig:103-130).
+
+Bucket keys per codec:
+
+* PNG  — (width, height, bit depth × color type, interlace): the
+  layout contract of BatchPngDecoder.
+* JPEG — (width, height, per-component sampling, progressive): the
+  geometry BatchJpegDecoder stacks on.  Progressive and 4-component
+  (CMYK/YCCK) streams route to the host decoder: their batched device
+  outputs mirror the host plane semantics rather than the RGBA
+  flatten, and mixed corpora are dominated by baseline YCbCr anyway.
+* QOI  — (width, height).
+* BMP  — (width, height, orientation, bpp, header version).
+
+Any bucket whose batched decode raises falls back to per-image host
+decode, so ``decode_mixed`` is total over every stream the host
+decoder accepts.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..errors import UnknownFormat
+
+# ---------------------------------------------------------------------------
+# Header probes — magic bytes + just enough structure for a bucket key.
+# ---------------------------------------------------------------------------
+
+
+def _probe_png(data: bytes):
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    # IHDR is required first (decoder.zig Stage machine); 8-byte chunk
+    # header + 13-byte payload.
+    if len(data) < 33 or data[12:16] != b"IHDR":
+        return ("png", "host")
+    w, h = struct.unpack(">II", data[16:24])
+    depth, ctype, _, _, interlace = data[24:29]
+    return ("png", w, h, depth, ctype, interlace)
+
+
+def _probe_jpeg(data: bytes):
+    if data[:2] != b"\xff\xd8":
+        return None
+    # Marker walk to the first SOF (decoder.zig:220-355 simplified to
+    # length-skips; entropy data never precedes the first SOF).
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        m = data[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xFF:
+            i += 1
+            continue
+        seglen = (data[i + 2] << 8) | data[i + 3]
+        if m in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            p = i + 4
+            if p + 6 > n:
+                break
+            h = (data[p + 1] << 8) | data[p + 2]
+            w = (data[p + 3] << 8) | data[p + 4]
+            ncomp = data[p + 5]
+            hv = []
+            q = p + 6
+            for _ in range(ncomp):
+                if q + 3 > n:
+                    break
+                hv.append(data[q + 1])
+                q += 3
+            return ("jpeg", w, h, ncomp, tuple(hv), m == 0xC2)
+        i += 2 + seglen
+    return ("jpeg", "host")  # undecodable header: let the host error
+
+
+def _probe_qoi(data: bytes):
+    if data[:4] != b"qoif" or len(data) < 14:
+        return None
+    w, h = struct.unpack(">II", data[4:12])
+    return ("qoi", w, h)
+
+
+def _probe_bmp(data: bytes):
+    if data[:2] != b"BM":
+        return None
+    try:
+        from ..codecs.bmp.decode import _read_header
+
+        hh = _read_header(data)
+        return ("bmp", hh[0], hh[1], hh[2], hh[3], hh[4])
+    except Exception:
+        return ("bmp", "host")
+
+
+def probe_key(data: bytes):
+    """Codec + compatibility bucket key for one encoded image."""
+    for probe in (_probe_png, _probe_jpeg, _probe_qoi, _probe_bmp):
+        key = probe(data)
+        if key is not None:
+            return key
+    raise UnknownFormat("zpix: no codec matched the buffer")
+
+
+def plan_buckets(buffers) -> dict:
+    """Group buffer indices into compatibility buckets: key -> [idx]."""
+    buckets: dict = {}
+    for i, data in enumerate(buffers):
+        buckets.setdefault(probe_key(data), []).append(i)
+    return buckets
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _host_rgba(data: bytes) -> np.ndarray:
+    from .. import from_buffer
+
+    img = from_buffer(data)
+    return np.asarray(img.rgba_pixels(), np.uint8).reshape(
+        img.height, img.width, 4
+    )
+
+
+def _to_rgba(out) -> np.ndarray:
+    """Normalize a batched decoder output to [B, H, W, 4] RGBA8."""
+    arr = np.asarray(out)
+    if arr.ndim == 3:  # gray planes [B, H, W]
+        a = np.full(arr.shape + (1,), 255, np.uint8)
+        g = arr[..., None]
+        return np.concatenate([g, g, g, a], axis=-1)
+    if arr.shape[-1] == 3:  # RGB -> opaque RGBA
+        a = np.full(arr.shape[:-1] + (1,), 255, np.uint8)
+        return np.concatenate([arr, a], axis=-1)
+    return arr
+
+
+def _decode_bucket(kind: str, key, datas: list[bytes], mesh, min_batch: int):
+    if len(datas) < min_batch or "host" in key:
+        return [_host_rgba(d) for d in datas]
+    try:
+        if kind == "png":
+            from .png_batch import BatchPngDecoder
+
+            return list(_to_rgba(BatchPngDecoder(mesh=mesh).decode(datas)))
+        if kind == "jpeg":
+            ncomp, progressive = key[3], key[5]
+            if progressive or ncomp == 4:
+                return [_host_rgba(d) for d in datas]
+            from .batch import BatchJpegDecoder
+
+            return list(_to_rgba(BatchJpegDecoder(mesh=mesh).decode(datas)))
+        if kind == "qoi":
+            from .qoi_batch import BatchQoiDecoder
+
+            return list(BatchQoiDecoder().decode_verified(datas))
+        if kind == "bmp":
+            from .bmp_batch import BatchBmpDecoder
+
+            return list(_to_rgba(BatchBmpDecoder(mesh=mesh).decode(datas)))
+    except Exception:
+        pass  # batched path declined this bucket: exact host fallback
+    return [_host_rgba(d) for d in datas]
+
+
+def decode_mixed(buffers, *, mesh=None, min_batch: int = 1):
+    """Decode a mixed list of encoded images (any supported format,
+    any geometry) -> list of RGBA8 [H, W, 4] arrays in input order.
+
+    mesh: optional jax Mesh; compatible buckets shard on its 'batch'
+    axis.  min_batch: buckets smaller than this skip the device path
+    (avoids per-geometry compiles for one-off shapes)."""
+    buffers = list(buffers)
+    results: list = [None] * len(buffers)
+    for key, idxs in plan_buckets(buffers).items():
+        outs = _decode_bucket(
+            key[0], key, [buffers[i] for i in idxs], mesh, min_batch
+        )
+        for i, out in zip(idxs, outs):
+            results[i] = np.asarray(out, np.uint8)
+    return results
+
+
+def load_batch(paths, *, mesh=None, min_batch: int = 1):
+    """decode_mixed over a list of file paths (one API call for a real
+    directory: the planner handles mixed formats and geometries)."""
+    bufs = []
+    for p in paths:
+        with open(p, "rb") as f:
+            bufs.append(f.read())
+    return decode_mixed(bufs, mesh=mesh, min_batch=min_batch)
