@@ -123,3 +123,24 @@ def test_encode_device_batch_roundtrip():
     for i, (img, data) in enumerate(zip(imgs, outs)):
         assert data == encode(img, descs[i]), f"image {i}"
         assert np.array_equal(host_decode(data).pix, img), f"image {i}"
+
+
+def test_device_qoi_sharded_parity():
+    """Lane state shards over the mesh batch axis (batch-major [B*F]
+    flat lanes); the replicated stream + sharded per-image metadata
+    must decode bit-identically to the host."""
+    import jax
+
+    from zpix_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    imgs = _images()
+    datas = [_enc(imgs[i % len(imgs)]) for i in range(8)]
+    mesh = make_mesh(jax.devices()[:8], batch=8, stripe=1)
+    dec = BatchQoiDecoder(chunk_bytes=32, mesh=mesh)
+    out, ok = dec.decode(datas)
+    assert bool(ok)
+    out = np.asarray(out)
+    for i, d in enumerate(datas):
+        assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"

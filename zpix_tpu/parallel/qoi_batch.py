@@ -102,11 +102,35 @@ def prep_qoi_batch(datas: list[bytes], chunk_bytes: int | None = None) -> QoiPla
 
 
 def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
-                        max_rounds: int | None = None, _raw: bool = False):
+                        max_rounds: int | None = None, _raw: bool = False,
+                        mesh=None):
     """Returns a jitted fn: (stream, img_byte_start, img_byte_end,
-    img_raw_end) -> (rgba [B, H, W, 4] uint8, ok flag)."""
+    img_raw_end) -> (rgba [B, H, W, 4] uint8, ok flag).
+
+    mesh: shard the lane state over the mesh 'batch' axis.  Lanes are
+    batch-major ([L] = [B, F] flattened), so a leading-axis shard keeps
+    every image's chunk lanes on one device; the compressed stream
+    stays replicated (each lane gathers arbitrary offsets of it)."""
     import jax
     import jax.numpy as jnp
+
+    lane_sh = out_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lane_sh = NamedSharding(mesh, P("batch"))
+        out_sh = NamedSharding(mesh, P("batch"))
+
+    def _lane(x):
+        if lane_sh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, lane_sh)
+
+    def _b(x):
+        """Constrain a [B, ...] per-image array onto the batch axis."""
+        if out_sh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, out_sh)
 
     B = plan.batch
     F = plan.n_chunks
@@ -274,9 +298,9 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
 
         # ---- speculative sync to a fixed point
         guess = (
-            chunk_start,
-            jnp.full(L, PX0, u32),
-            jnp.zeros((L, 64), u32),
+            _lane(chunk_start),
+            _lane(jnp.full(L, PX0, u32)),
+            _lane(jnp.zeros((L, 64), u32)),
         )
 
         def shift(exits):
@@ -328,6 +352,9 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
             c = cols_b[jnp.clip(op, 0, F * mcap - 1)]
             return jnp.where(gpix < total_b, c, fill_b)
 
+        cum, cols_img, total, fill_px = (
+            _b(cum), _b(cols_img), _b(total), _b(fill_px)
+        )
         packed = jax.vmap(expand)(cum, cols_img, total, fill_px)  # [B, npx] u32
         rgba = jnp.stack(
             [
@@ -338,7 +365,7 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
             ],
             axis=-1,
         ).reshape(B, plan.height, plan.width, 4)
-        return rgba, scan_ok
+        return _b(rgba), scan_ok
 
     if _raw:
         return decode
@@ -356,9 +383,10 @@ class BatchQoiDecoder:
     """
 
     def __init__(self, *, chunk_bytes: int | None = None,
-                 k_ops: int | None = None):
+                 k_ops: int | None = None, mesh=None):
         self.chunk_bytes = chunk_bytes
         self.k_ops = k_ops
+        self.mesh = mesh
         self._fns: dict = {}
 
     def decode(self, datas: list[bytes]):
@@ -372,8 +400,19 @@ class BatchQoiDecoder:
         key = (plan.cache_key, int(plan.stream.shape[0]))
         fn = self._fns.get(key)
         if fn is None:
-            fn = build_qoi_decode_fn(plan, k_ops=self.k_ops)
+            fn = build_qoi_decode_fn(plan, k_ops=self.k_ops, mesh=self.mesh)
             self._fns[key] = fn
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())  # stream: every lane gathers
+            bsh = NamedSharding(self.mesh, P("batch"))
+            return fn(
+                jax.device_put(plan.stream, rep),
+                jax.device_put(plan.img_byte_start, bsh),
+                jax.device_put(plan.img_byte_end, bsh),
+                jax.device_put(plan.img_raw_end, bsh),
+            )
         return fn(
             jax.device_put(plan.stream),
             jax.device_put(plan.img_byte_start),
