@@ -1,0 +1,88 @@
+"""On-chip progressive entropy decode differentials.
+
+The device decodes every DC-first / AC-first / DC-refine scan
+(speculative chunk fixed point, progressive_onchip.py); only AC
+refinements run on the host, seeded by one store fetch.  Output must be
+bit-exact with the host decoder (itself parity-tested against the
+reference semantics, decoder.zig:1362-1549) over the progressive corpus.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from zpix_tpu.codecs.jpeg import decoder as host
+from zpix_tpu.color import ycbcr_to_rgb8
+from zpix_tpu.parallel.progressive_onchip import (
+    OnchipProgressiveDecoder,
+    parse_progressive,
+)
+
+_KW = dict(chunk_bytes=16, k1=4, k2=4, W=4)  # small unrolls for XLA:CPU
+
+
+def _want(data):
+    img = host.decode(data)
+    if img.__class__.__name__ == "GrayImage":
+        return img.pix
+    cb, cr = img.upsampled_cbcr()
+    r, g, b = ycbcr_to_rgb8(img.y, cb, cr)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _run(path, dec=None):
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = dec or OnchipProgressiveDecoder(**_KW)
+    out, ok = dec.decode([data, data])
+    assert bool(ok), path
+    want = _want(data)
+    got = np.asarray(out)
+    assert np.array_equal(got[0], want), path
+    assert np.array_equal(got[1], want), path
+
+
+FAST_FILES = [
+    "video-001.q50.444.progressive.jpeg",  # standard libjpeg script
+    "video-005.gray.q50.2x2.progressive.jpeg",  # gray, declared 2x2
+    "video-001.separate.dc.progression.progressive.jpeg",  # split DC scans
+]
+
+
+@pytest.mark.parametrize("name", FAST_FILES)
+def test_onchip_progressive_parity(testdata, name):
+    _run(os.path.join(testdata, name))
+
+
+def test_onchip_prefix_covers_spectral_scans(testdata):
+    """The standard script's whole spectral pass (DC first + 4 AC first)
+    must be device-decodable — zero host Huffman before the first AC
+    refinement."""
+    with open(
+        os.path.join(testdata, "video-001.q50.444.progressive.jpeg"), "rb"
+    ) as f:
+        pp = parse_progressive(f.read())
+    kinds = [s.kind for s in pp.scans]
+    first_refine = kinds.index("ac_refine")
+    assert first_refine >= 5
+    assert all(k in ("dc_first", "ac_first") for k in kinds[:first_refine])
+
+
+@pytest.mark.slow
+def test_onchip_progressive_full_corpus(testdata):
+    dec = OnchipProgressiveDecoder(**_KW)
+    files = sorted(glob.glob(os.path.join(testdata, "*progressive*.jpeg")))
+    assert len(files) >= 9
+    for path in files:
+        _run(path, dec)
+
+
+def test_onchip_progressive_rejects_baseline(testdata):
+    from zpix_tpu.errors import UnsupportedError
+
+    with open(os.path.join(testdata, "video-001.jpeg"), "rb") as f:
+        data = f.read()
+    with pytest.raises(UnsupportedError):
+        parse_progressive(data)

@@ -19,6 +19,7 @@ from .png_batch import BatchPngDecoder
 from .qoi_batch import BatchQoiDecoder
 from .bmp_batch import BatchBmpDecoder
 from .progressive import DeviceProgressiveDecoder
+from .progressive_onchip import OnchipProgressiveDecoder
 
 __all__ = [
     "make_mesh",
@@ -28,6 +29,7 @@ __all__ = [
     "BatchBmpDecoder",
     "BatchQoiDecoder",
     "DeviceProgressiveDecoder",
+    "OnchipProgressiveDecoder",
     "DeviceJpegDecoder",
     "SyncJpegDecoder",
     "decode_batch_ycbcr_to_rgb",

@@ -833,6 +833,7 @@ def build_decode_fn(
     coeff_dtype=None, _stage: int = 2, _raw: bool = False,
     _soa_out: bool = False, split_win: bool | None = None,
     mesh=None, i16: bool | None = None, p1_i16: bool | None = None,
+    _stats: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -1073,6 +1074,10 @@ def build_decode_fn(
         if _stage == 17:  # debug: + integrity check
             return to_legacy(curT).astype(jnp.int16), ok
 
+        # while-loop trip counts for the roofline accounting
+        # (utils/roofline.py): the loops' HBM traffic = carry x trips
+        stats = (st1[8], st2[5 + di]) if _stats else None
+
         if _soa_out:
             if i16:
                 # (int32 DC row with predictors restored, int16 AC store)
@@ -1080,19 +1085,21 @@ def build_decode_fn(
                     jnp, st2[2], groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
                     hv=plan.hv, ncomp=plan.ncomp,
                 )
-                return (dcrow, curT), ok
-            # lane-minor store straight into the SoA back-end: DC fix is
-            # a broadcast add; no [L2, 64]-major relayout anywhere
-            return _restore_dc_T(
-                jnp, curT, groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
-                hv=plan.hv, ncomp=plan.ncomp,
-            ), ok
+                out = (dcrow, curT)
+            else:
+                # lane-minor store straight into the SoA back-end: DC fix
+                # is a broadcast add; no [L2, 64]-major relayout anywhere
+                out = _restore_dc_T(
+                    jnp, curT, groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
+                    hv=plan.hv, ncomp=plan.ncomp,
+                )
+            return (out, ok, stats) if _stats else (out, ok)
 
         coeffs = _restore_dc_and_reorder(
             jnp, to_legacy(curT), groups=L1, n_mcu_grp=n_mcu_seg, bpm=bpm,
             hv=plan.hv, ncomp=plan.ncomp, dtype=coeff_dtype,
         )
-        return coeffs, ok
+        return (coeffs, ok, stats) if _stats else (coeffs, ok)
 
     if packed:
         # Single-buffer form: [stream bytes | seg_bit_pos LE int32];

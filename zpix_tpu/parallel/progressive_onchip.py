@@ -1,0 +1,1192 @@
+"""On-chip progressive-JPEG entropy decode: SOF2 scans on SIMD lanes.
+
+The reference decodes progressive scans bit-serially on the host
+(decoder.zig:1362-1412 spectral selection, :1459-1549 refinement); round
+2 kept per-scan Huffman on the host and shipped sparse deltas up.  Here
+the "first" scans run ON THE CHIP with the same speculative-chunk
+fixed-point machinery as the restart-free baseline decoder
+(device_entropy_sync.py, after arXiv:2111.09219):
+
+* **DC first scans** (Ss=0, Ah=0, interleaved or single-component) —
+  every block is exactly ONE Huffman symbol + extend bits, so the index
+  scan IS the value scan: chunk lanes record (block, diff) pairs
+  directly; the per-component predictor chains (decoder.zig:1366-1376)
+  are an exclusive cumsum, and ``b[0] = dc << Al``.
+* **AC first scans** (Ss>0, Ah=0, single component) — non-interleaved
+  lanes over the component's VALID blocks (the reference skips blocks
+  whose 8px origin falls outside the image, decoder.py:528; progressive
+  is the only path where edge blocks stay undecoded).  Lane state is
+  (bit, k, mid-block); EOB runs (decoder.py:571-576) resolve in ONE
+  step — the run's blocks consume no bits, so a run never spans chunks
+  and block advances accumulate per chunk.  A value pass (one lane per
+  valid block, eob-covered lanes idle) re-decodes each data block into
+  its own [64] row at ``val << Al``; verification requires every value
+  lane to land exactly on the index scan's block end.
+* **DC refinement scans** (Ss=0, Ah>0) — one RAW bit per block, no
+  Huffman at all: ``unpackbits`` + ``row0 |= bit << Al``
+  (decoder.py:721-726).
+
+AC refinement scans (correction bits gated on the accumulated nonzero
+pattern, decoder.py:728-775) stay on the host: the device store is
+fetched ONCE when the first refinement scan is reached, the host
+decodes only the refinement tail from that seed (zero host Huffman for
+every scan before it), and refinements apply as sparse deltas
+(progressive.py machinery).  The standard libjpeg scan script orders
+all first scans before all refinements, so the whole spectral decode of
+a typical progressive file runs on the chip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..codecs.jpeg.tables import UNZIG, HuffTable
+from ..errors import FormatError, UnsupportedError
+from .device_entropy import (
+    CmpTables,
+    _bits_at,
+    _make_sym_decoder,
+    _select_by_index,
+)
+
+
+# ---------------------------------------------------------------- parse
+
+
+@dataclass
+class ScanInfo:
+    comps: tuple  # component indices (0-based) in scan order
+    td: tuple  # DC table id per scan component
+    ta: tuple  # AC table id per scan component
+    ss: int
+    se: int
+    ah: int
+    al: int
+    stream: np.ndarray  # destuffed entropy bytes of this scan
+    huffs: dict = None  # (tc, th) -> HuffTable snapshot at this scan
+
+    @property
+    def kind(self) -> str:
+        if self.ss == 0:
+            return "dc_first" if self.ah == 0 else "dc_refine"
+        return "ac_first" if self.ah == 0 else "ac_refine"
+
+
+@dataclass
+class ProgPlan:
+    width: int
+    height: int
+    ncomp: int
+    hv: tuple
+    mxx: int
+    myy: int
+    quants: list  # [ncomp] natural-order int32[64]
+    scans: list  # [ScanInfo]
+    ratio: str
+    tq: tuple  # per-component quant selector
+
+
+def _destuff_scan(data: bytes, start: int):
+    """Destuff one scan's entropy bytes: FF00 -> FF, stop at the first
+    real marker (refinement scans end at the next DHT/SOS/EOI).  RST
+    markers inside the scan -> UnsupportedError (progressive + DRI falls
+    back to the host path)."""
+    d = np.frombuffer(data, np.uint8)[start:]
+    ff = np.flatnonzero(d[:-1] == 0xFF)
+    nxt = d[ff + 1]
+    real = ff[(nxt != 0x00) & (nxt != 0xFF)]
+    end = int(real[0]) if len(real) else len(d)
+    rst_mask = (nxt >= 0xD0) & (nxt <= 0xD7)
+    if len(real) and rst_mask[np.searchsorted(ff, real[0])]:
+        raise UnsupportedError("jpeg: progressive restart intervals on-chip")
+    stuffed = ff[(nxt == 0x00)]
+    stuffed = stuffed[stuffed < end]
+    keep = np.ones(end, bool)
+    keep[stuffed + 1] = False
+    return d[:end][keep], start + end
+
+
+def parse_progressive(data: bytes) -> ProgPlan:
+    """Full marker walk of one SOF2 stream: geometry + per-scan params,
+    table snapshots, and destuffed entropy segments."""
+    if data[:2] != b"\xff\xd8":
+        raise FormatError("jpeg: missing SOI")
+    pos = 2
+    quants = [None] * 4
+    huffs: dict = {}
+    sof = None
+    scans: list = []
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = (data[pos] << 8) | data[pos + 1]
+        body = data[pos + 2 : pos + seg_len]
+        if marker == 0xC2:
+            prec = body[0]
+            if prec != 8:
+                raise UnsupportedError("jpeg: only 8-bit precision")
+            h, w, nc = (body[1] << 8) | body[2], (body[3] << 8) | body[4], body[5]
+            comps = []
+            for i in range(nc):
+                comps.append(
+                    (body[6 + 3 * i], body[7 + 3 * i] >> 4,
+                     body[7 + 3 * i] & 15, body[8 + 3 * i])
+                )
+            sof = (w, h, nc, tuple(comps))
+        elif marker in (0xC0, 0xC1):
+            raise UnsupportedError("jpeg: baseline stream; use the baseline path")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedError("jpeg: only progressive DCT here")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                counts = list(body[o + 1 : o + 17])
+                total = sum(counts)
+                t = HuffTable()
+                t.build(counts, bytes(body[o + 17 : o + 17 + total]))
+                huffs[(tc, th)] = t
+                o += 17 + total
+        elif marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq == 0:
+                    q = np.array(list(body[o + 1 : o + 65]), np.int32)
+                    o += 65
+                else:
+                    raw = body[o + 1 : o + 129]
+                    q = np.array(
+                        [(raw[2 * i] << 8) | raw[2 * i + 1] for i in range(64)],
+                        np.int32,
+                    )
+                    o += 129
+                nat = np.zeros(64, np.int32)
+                nat[UNZIG] = q
+                quants[tq] = nat
+        elif marker == 0xDD:
+            if (body[0] << 8) | body[1]:
+                raise UnsupportedError(
+                    "jpeg: progressive restart intervals on-chip"
+                )
+        elif marker == 0xDA:
+            if sof is None:
+                raise FormatError("jpeg: SOS before SOF")
+            ns = body[0]
+            ids = tuple(c[0] for c in sof[3])
+            cidx, tds, tas = [], [], []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                cidx.append(ids.index(cs))
+                tds.append(tt >> 4)
+                tas.append(tt & 15)
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            stream, endpos = _destuff_scan(data, pos + seg_len)
+            scans.append(
+                ScanInfo(
+                    comps=tuple(cidx), td=tuple(tds), ta=tuple(tas),
+                    ss=ss, se=se, ah=ahal >> 4, al=ahal & 15,
+                    stream=stream, huffs=dict(huffs),
+                )
+            )
+            pos = endpos
+            continue
+        pos += seg_len
+    if sof is None or not scans:
+        raise FormatError("jpeg: no SOF2/SOS")
+    w, h, nc, comps = sof
+    if nc == 1:
+        # grayscale ignores declared sampling factors
+        # (decoder.zig:546-561 normalizes (h, v) to (1, 1))
+        cid, _, _, tq = comps[0]
+        comps = ((cid, 1, 1, tq),)
+    h0, v0 = comps[0][1], comps[0][2]
+    ratio = "gray"
+    if nc >= 3:
+        hr, vr = h0 // comps[1][1], v0 // comps[1][2]
+        ratio = {0x11: "444", 0x12: "440", 0x21: "422",
+                 0x22: "420", 0x41: "411", 0x42: "410"}.get((hr << 4) | vr)
+        if ratio is None:
+            raise UnsupportedError("jpeg: unsupported sampling")
+    return ProgPlan(
+        width=w, height=h, ncomp=nc,
+        hv=tuple((c[1], c[2]) for c in comps),
+        mxx=(w + 8 * h0 - 1) // (8 * h0),
+        myy=(h + 8 * v0 - 1) // (8 * v0),
+        quants=[quants[c[3]] for c in comps],
+        scans=scans, ratio=ratio, tq=tuple(c[3] for c in comps),
+    )
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def _window(jnp, stream, W):
+    """Stacked [N, W] big-endian u32 windows at every byte offset."""
+    s = stream.astype(jnp.uint32)
+    n = stream.shape[0] - 4 * W
+    b = [s[i : n + i] for i in range(4 * W)]
+    win = jnp.stack(
+        [
+            (b[4 * j] << 24) | (b[4 * j + 1] << 16) | (b[4 * j + 2] << 8)
+            | b[4 * j + 3]
+            for j in range(W)
+        ],
+        axis=-1,
+    )
+    return win, n
+
+
+def _receive_extend(jnp, w, pos, size):
+    """RECEIVE+EXTEND, branch-free (T.81 F.2.2.1, decoder.py:250-263)."""
+    raw = _bits_at(jnp, w, pos, jnp.clip(size, 0, 16)).astype(jnp.int32)
+    raw = jnp.where(size > 0, raw, 0)
+    sz = jnp.clip(size, 0, 16)
+    bias = jnp.where(size > 0, (jnp.int32(1) << sz) - 1, 0)
+    top_clear = raw < (jnp.int32(1) << jnp.clip(size - 1, 0, 15))
+    return jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
+
+
+def build_dc_first_fn(
+    *, batch: int, n_chunks: int, chunk_bytes: int, cmp: CmpTables,
+    tid_of_slot: tuple, nblk_total: int, k1: int = None, W: int = None,
+    _raw: bool = False,
+):
+    """DC first scan (Ss=0, Ah=0): chunked speculative decode.
+
+    Every block is one DC symbol + extend bits (decoder.py:543-554), so
+    the chunk scan records (block-in-chunk, raw diff) pairs directly —
+    no separate value pass.  tid_of_slot maps slot-in-MCU -> cmp table
+    (len 1 for single-component scans, which have no slot cycling).
+
+    Returns jit fn (stream, img_bit_start, img_bit_end) ->
+    (diffs [B, nblk_total] int32, sizes_bad ok flag).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device_entropy import _DEF_K1, _DEF_W
+
+    B, F = batch, n_chunks
+    L = B * F
+    C_BITS = chunk_bytes * 8
+    bpm = len(tid_of_slot)
+    k1 = k1 if k1 is not None else _DEF_K1
+    W = W if W is not None else _DEF_W
+    off_lim = 32 * W - 48
+    mbc = 4 * chunk_bytes  # DC sym >= 2 bits incl. extend in practice
+    inner_cap = (8 * chunk_bytes) // max(k1, 1) + 8
+    rounds_cap = F + 2
+
+    def decode(stream, img_bit_start, img_bit_end):
+        win, n = _window(jnp, stream, W)
+        decode_sym = _make_sym_decoder(jnp, cmp)
+        img_start = img_bit_start.astype(jnp.int32)
+        img_end = img_bit_end.astype(jnp.int32)
+        lane_img = jnp.repeat(jnp.arange(B), F)
+        lane_chunk = jnp.tile(jnp.arange(F), B)
+        chunk_start = jnp.minimum(
+            img_start[lane_img] + lane_chunk * C_BITS, img_end[lane_img]
+        )
+        chunk_end = jnp.minimum(chunk_start + C_BITS, img_end[lane_img])
+
+        def scan_chunks(entries, record):
+            e_bit, e_slot = entries
+
+            def body(st):
+                (bit_pos, slot, done, over, err_bit, vals, cnt, steps) = st
+                byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+                wW = win[byte]
+                w = tuple(wW[:, i] for i in range(W))
+                off0 = (bit_pos & 7).astype(jnp.int32)
+                off = off0
+                base = (byte << 3).astype(jnp.int32)
+                emits = []
+                for _ in range(k1):
+                    active = (~done) & (off <= off_lim)
+                    look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(
+                        jnp.int32
+                    )
+                    if len(tid_of_slot) == 1:
+                        mt = [
+                            True if t == tid_of_slot[0] else None
+                            for t in range(cmp.ntab)
+                        ]
+                    else:
+                        tid = _select_by_index(jnp, slot, tid_of_slot)
+                        mt = [tid == t for t in range(cmp.ntab)]
+                    ln_sel, sym, bad = decode_sym(look16, mt)
+                    bad = active & (bad | (sym > 16))  # decoder.py:548-551
+                    diff = _receive_extend(jnp, w, off + ln_sel, sym)
+                    app = active & ~bad
+                    if record:
+                        emits.append((
+                            jnp.clip(cnt, 0, mbc - 1),
+                            jnp.where(app & (cnt < mbc), diff, 0),
+                        ))
+                        over = over | (app & (cnt >= mbc))
+                    cnt = jnp.where(app, cnt + 1, cnt)
+                    slot = jnp.where(app, slot + 1, slot)
+                    slot = jnp.where(slot >= bpm, 0, slot)
+                    off = jnp.where(app, off + ln_sel + sym, off)
+                    err_bit = jnp.where(
+                        bad, jnp.minimum(err_bit, base + off), err_bit
+                    )
+                    done = done | (base + off >= chunk_end) | bad
+                bit_pos = bit_pos - off0 + off
+                if record:
+                    arb = jnp.arange(mbc)[None, :]
+                    vals = vals + sum(
+                        jnp.where(ci[:, None] == arb, cv[:, None], 0)
+                        for ci, cv in emits
+                    )
+                return (bit_pos, slot, done, over, err_bit, vals, cnt,
+                        steps + 1)
+
+            def cond(st):
+                return (jnp.sum(st[2].astype(jnp.int32)) < L) & (
+                    st[7] < inner_cap
+                )
+
+            return jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    e_bit,
+                    e_slot,
+                    e_bit >= chunk_end,
+                    jnp.zeros(L, bool),
+                    jnp.full(L, 2**30, jnp.int32),
+                    jnp.zeros((L, mbc if record else 1), jnp.int32),
+                    jnp.zeros(L, jnp.int32),
+                    jnp.int32(0),
+                ),
+            )
+
+        guess = (chunk_start, jnp.zeros(L, jnp.int32))
+
+        def shift(exits):
+            bit, slot = exits
+            bit2 = bit.reshape(B, F)
+            slot2 = slot.reshape(B, F)
+            return (
+                jnp.concatenate([img_start[:, None], bit2[:, :-1]], 1).reshape(L),
+                jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.int32), slot2[:, :-1]], 1
+                ).reshape(L),
+            )
+
+        def sync_round(st):
+            entries, _c, rounds = st
+            sc = scan_chunks(entries, record=False)
+            new_entries = shift((sc[0], sc[1]))
+            chg = jnp.zeros((), bool)
+            for a, bb in zip(new_entries, entries):
+                chg = chg | jnp.any(a != bb)
+            return (new_entries, chg, rounds + 1)
+
+        st = (guess, jnp.ones((), bool), jnp.int32(0))
+        st = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < rounds_cap), sync_round, st
+        )
+        sc = scan_chunks(st[0], record=True)
+        over, err_bit, vals, cnt = sc[3], sc[4], sc[5], sc[6]
+
+        # assemble per-image block diffs in stream order
+        cnt_img = cnt.reshape(B, F)
+        total = jnp.sum(cnt_img, axis=1)
+        # the decode runs into the encoder's 1-bit padding which may
+        # parse as extra symbols or an invalid code; require AT LEAST
+        # nblk_total blocks, ignore the tail, and tolerate decode errors
+        # only inside the final 2 bytes (the padding region — same rule
+        # as device_entropy_sync)
+        total_ok = jnp.all(total >= nblk_total)
+        err_ok = jnp.all(err_bit >= img_end[lane_img] - 16)
+        base = jnp.cumsum(cnt_img, axis=1) - cnt_img
+        g = jnp.arange(nblk_total)
+
+        def per_image(base_b, vals_b):
+            i_of_g = (
+                jnp.searchsorted(base_b, g, side="right") - 1
+            ).astype(jnp.int32)
+            i_of_g = jnp.clip(i_of_g, 0, F - 1)
+            j_of_g = g - base_b[i_of_g]
+            rows = jnp.clip(i_of_g * mbc + j_of_g, 0, F * mbc - 1)
+            return vals_b.reshape(F * mbc)[rows]
+
+        diffs = jax.vmap(per_image)(base, vals.reshape(B, F, mbc))
+        ok = jnp.all(sc[2]) & ~jnp.any(over) & total_ok & err_ok
+        return diffs, ok
+
+    if _raw:
+        return decode
+    import jax
+
+    return jax.jit(decode)
+
+
+def build_ac_first_fn(
+    *, batch: int, n_chunks: int, chunk_bytes: int, cmp: CmpTables,
+    tid: int, ss: int, se: int, nvalid: int, k1: int = None,
+    k2: int = None, W: int = None, _raw: bool = False,
+):
+    """AC first scan (Ss>0, Ah=0, single component): chunked speculative
+    index scan + per-block value pass.
+
+    Semantics per decoder.py:556-578: blocks in component raster order
+    over the VALID grid (nvalid blocks); an EOB symbol (size=0, r<15)
+    ends the current block and skips ``(1<<r | receive(r)) - 1`` more —
+    the skipped blocks consume no bits, so the whole run resolves inside
+    the chunk that decoded the symbol and lane state is just (bit, k).
+
+    Returns jit fn (stream, img_bit_start, img_bit_end) ->
+    (coefT [64, B*nvalid] int32 natural-order values at <<Al applied by
+    the caller, ok flag).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device_entropy import _DEF_K, _DEF_K1, _DEF_W
+
+    B, F = batch, n_chunks
+    L = B * F
+    C_BITS = chunk_bytes * 8
+    k1 = k1 if k1 is not None else _DEF_K1
+    k2 = k2 if k2 is not None else _DEF_K
+    W = W if W is not None else _DEF_W
+    off_lim = 32 * W - 48
+    mbc = 4 * chunk_bytes  # data blocks starting per chunk (>=2 bits each)
+    inner_cap = (8 * chunk_bytes) // max(k1, 1) + 8
+    rounds_cap = F + 2
+    L2 = B * nvalid
+    mt_one = [True if t == tid else None for t in range(cmp.ntab)]
+
+    inv = np.zeros(64, np.int64)
+    inv[UNZIG] = np.arange(64)
+    invT_np = inv[:, None]
+
+    def decode(stream, img_bit_start, img_bit_end):
+        win, n = _window(jnp, stream, W)
+        decode_sym = _make_sym_decoder(jnp, cmp)
+        img_start = img_bit_start.astype(jnp.int32)
+        img_end = img_bit_end.astype(jnp.int32)
+        lane_img = jnp.repeat(jnp.arange(B), F)
+        lane_chunk = jnp.tile(jnp.arange(F), B)
+        chunk_start = jnp.minimum(
+            img_start[lane_img] + lane_chunk * C_BITS, img_end[lane_img]
+        )
+        chunk_end = jnp.minimum(chunk_start + C_BITS, img_end[lane_img])
+
+        def sym_step(w, off, k, active):
+            """One AC symbol: returns (consume, new_k, blk_done, skips,
+            bad).  skips = extra blocks covered by an EOB run."""
+            look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+            ln_sel, sym, bad = decode_sym(look16, mt_one)
+            bad = active & bad
+            r = sym >> 4
+            size = sym & 15
+            is_eob = (size == 0) & (r < 15)
+            is_zrl = (size == 0) & (r == 15)
+            k2_ = k + r
+            overflow = (size > 0) & (k2_ > se)  # break BEFORE extend bits
+            run_extra = _bits_at(
+                jnp, w, off + ln_sel, jnp.clip(r, 0, 14)
+            ).astype(jnp.int32)
+            run_extra = jnp.where(is_eob & (r > 0), run_extra, 0)
+            eob_total = jnp.where(is_eob, (1 << jnp.clip(r, 0, 14)) | run_extra, 0)
+            consume = jnp.where(
+                is_eob, ln_sel + jnp.where(r > 0, r, 0),
+                jnp.where(is_zrl | overflow, ln_sel, ln_sel + size),
+            )
+            new_k = jnp.where(
+                is_zrl, k + 16,
+                jnp.where(is_eob | overflow, k, k2_ + 1),
+            )
+            blk_done = is_eob | overflow | (new_k > se)
+            skips = jnp.where(is_eob, eob_total - 1, 0)
+            return consume, new_k, blk_done, skips, bad, ln_sel, sym
+
+        # ---------------- index scan (chunk lanes)
+        def scan_chunks(entries, record):
+            e_bit, e_k = entries
+
+            def body(st):
+                (bit_pos, k, done, over, err_bit, ends, boffs, ndata,
+                 nblk, steps) = st
+                byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+                wW = win[byte]
+                w = tuple(wW[:, i] for i in range(W))
+                off0 = (bit_pos & 7).astype(jnp.int32)
+                off = off0
+                base = (byte << 3).astype(jnp.int32)
+                emits = []
+                for _ in range(k1):
+                    active = (~done) & (off <= off_lim)
+                    consume, new_k, blk_done, skips, bad, _ln, _sym = (
+                        sym_step(w, off, k, active)
+                    )
+                    app = active & ~bad
+                    fin = app & blk_done
+                    if record:
+                        emits.append((
+                            jnp.clip(ndata, 0, mbc - 1),
+                            jnp.where(fin & (ndata < mbc),
+                                      base + off + consume, 0),
+                            jnp.where(fin & (ndata < mbc), nblk, 0),
+                        ))
+                        over = over | (fin & (ndata >= mbc))
+                    ndata = jnp.where(fin, ndata + 1, ndata)
+                    nblk = jnp.where(fin, nblk + 1 + skips, nblk)
+                    k = jnp.where(fin, ss, jnp.where(app, new_k, k))
+                    off = jnp.where(app, off + consume, off)
+                    err_bit = jnp.where(
+                        bad, jnp.minimum(err_bit, base + off), err_bit
+                    )
+                    done = done | (base + off >= chunk_end) | bad
+                bit_pos = bit_pos - off0 + off
+                if record:
+                    arb = jnp.arange(mbc)[None, :]
+                    ends = ends + sum(
+                        jnp.where(ci[:, None] == arb, ev[:, None], 0)
+                        for ci, ev, _ in emits
+                    )
+                    boffs = boffs + sum(
+                        jnp.where(ci[:, None] == arb, bv[:, None], 0)
+                        for ci, _, bv in emits
+                    )
+                return (bit_pos, k, done, over, err_bit, ends, boffs,
+                        ndata, nblk, steps + 1)
+
+            def cond(st):
+                return (jnp.sum(st[2].astype(jnp.int32)) < L) & (
+                    st[9] < inner_cap
+                )
+
+            shape1 = (L, mbc if record else 1)
+            return jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    e_bit,
+                    e_k,
+                    e_bit >= chunk_end,
+                    jnp.zeros(L, bool),
+                    jnp.full(L, 2**30, jnp.int32),
+                    jnp.zeros(shape1, jnp.int32),
+                    jnp.zeros(shape1, jnp.int32),
+                    jnp.zeros(L, jnp.int32),
+                    jnp.zeros(L, jnp.int32),
+                    jnp.int32(0),
+                ),
+            )
+
+        guess = (chunk_start, jnp.full(L, ss, jnp.int32))
+
+        def shift(exits):
+            bit, k = exits
+            bit2 = bit.reshape(B, F)
+            k2_ = k.reshape(B, F)
+            return (
+                jnp.concatenate([img_start[:, None], bit2[:, :-1]], 1).reshape(L),
+                jnp.concatenate(
+                    [jnp.full((B, 1), ss, jnp.int32), k2_[:, :-1]], 1
+                ).reshape(L),
+            )
+
+        def sync_round(st):
+            entries, _c, rounds = st
+            sc = scan_chunks(entries, record=False)
+            new_entries = shift((sc[0], sc[1]))
+            chg = jnp.zeros((), bool)
+            for a, bb in zip(new_entries, entries):
+                chg = chg | jnp.any(a != bb)
+            return (new_entries, chg, rounds + 1)
+
+        st = (guess, jnp.ones((), bool), jnp.int32(0))
+        st = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < rounds_cap), sync_round, st
+        )
+        sc = scan_chunks(st[0], record=True)
+        over, err_bit = sc[3], sc[4]
+        ends_chunk, boffs_chunk = sc[5], sc[6]  # [L, mbc]
+        ndata, nblk_adv = sc[7], sc[8]  # [L]
+
+        # block index base per chunk: exclusive cumsum of block advances
+        nblk_img = nblk_adv.reshape(B, F)
+        blk_base = jnp.cumsum(nblk_img, axis=1) - nblk_img  # [B, F]
+        ndata_img = ndata.reshape(B, F)
+        data_base = jnp.cumsum(ndata_img, axis=1) - ndata_img
+        total_data = jnp.sum(ndata_img, axis=1)  # [B]
+        total_blk = jnp.sum(nblk_img, axis=1)
+        # all valid blocks must be covered (data or eob-skip); the tail
+        # may overshoot into padding
+        total_ok = jnp.all(total_blk >= nvalid)
+        err_ok = jnp.all(err_bit >= img_end[lane_img] - 16)
+
+        # global data-block arrays [B, DMAX] with DMAX = nvalid cap
+        gd = jnp.arange(nvalid)
+
+        def per_image(dbase_b, ends_b, boffs_b, bbase_b):
+            i_of = (
+                jnp.searchsorted(dbase_b, gd, side="right") - 1
+            ).astype(jnp.int32)
+            i_of = jnp.clip(i_of, 0, F - 1)
+            j_of = gd - dbase_b[i_of]
+            rows = jnp.clip(i_of * mbc + j_of, 0, F * mbc - 1)
+            ends_g = ends_b.reshape(F * mbc)[rows]
+            gidx_g = boffs_b.reshape(F * mbc)[rows] + bbase_b[i_of]
+            return ends_g, gidx_g
+
+        ends_g, gidx_g = jax.vmap(per_image)(
+            data_base, ends_chunk.reshape(B, F, mbc),
+            boffs_chunk.reshape(B, F, mbc), blk_base,
+        )  # [B, nvalid] each; rows past total_data are garbage
+
+        # data-block start = previous data block's end (skipped blocks
+        # consume nothing); first data block starts at img_start
+        starts_g = jnp.concatenate(
+            [img_start[:, None], ends_g[:, :-1]], axis=1
+        )
+        # real data blocks: within this image's data count AND inside the
+        # valid grid (data blocks past nvalid are artifacts of decoding
+        # into the encoder's padding bits — dropped, like the baseline
+        # sync decoder's tail rule)
+        d_valid = (gd[None, :] < total_data[:, None]) & (gidx_g < nvalid)
+
+        # scatter data-block starts onto valid-block lanes
+        flat_g = jnp.clip(gidx_g, 0, nvalid - 1) + nvalid * jnp.arange(B)[:, None]
+        flat_g = jnp.where(d_valid, flat_g, L2)  # drop pad rows
+        starts_lane = (
+            jnp.zeros(L2 + 1, jnp.int32)
+            .at[flat_g.reshape(-1)]
+            .set(starts_g.reshape(-1), mode="drop")[:L2]
+        )
+        ends_lane = (
+            jnp.zeros(L2 + 1, jnp.int32)
+            .at[flat_g.reshape(-1)]
+            .set(ends_g.reshape(-1), mode="drop")[:L2]
+        )
+        has_data = (
+            jnp.zeros(L2 + 1, bool)
+            .at[flat_g.reshape(-1)]
+            .set(True, mode="drop")[:L2]
+        )
+
+        # ---------------- value pass: one lane per valid block
+        invT = jnp.asarray(invT_np)
+
+        def body2(st):
+            (bit_pos, curT, k, done, err, steps) = st
+            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+            wW = win[byte]
+            w = tuple(wW[:, i] for i in range(W))
+            off0 = (bit_pos & 7).astype(jnp.int32)
+            off = off0
+            emits = []
+            for _ in range(k2):
+                active = (~done) & (off <= off_lim)
+                consume, new_k, blk_done, _skips, bad, ln_sel, sym = (
+                    sym_step(w, off, k, active)
+                )
+                r = sym >> 4
+                size = sym & 15
+                k_emit = k + r
+                emit_ok = (size > 0) & (k_emit <= se)
+                ext = _receive_extend(jnp, w, off + ln_sel, size)
+                app = active & ~bad
+                emits.append((
+                    jnp.where(app & emit_ok, ext, 0),
+                    jnp.clip(k_emit, 0, 63),
+                ))
+                k = jnp.where(app, new_k, k)
+                off = jnp.where(app, off + consume, off)
+                err = err | bad
+                done = done | (app & blk_done) | bad
+            curT = curT + sum(
+                jnp.where(ek[None, :] == invT, ev[None, :], 0)
+                for ev, ek in emits
+            )
+            bit_pos = bit_pos - off0 + off
+            return (bit_pos, curT, k, done, err, steps + 1)
+
+        def cond2(st):
+            return (jnp.sum(st[3].astype(jnp.int32)) < L2) & (st[5] < 81)
+
+        st2 = jax.lax.while_loop(
+            cond2,
+            body2,
+            (
+                starts_lane,
+                jnp.zeros((64, L2), jnp.int32),
+                jnp.full(L2, ss, jnp.int32),
+                ~has_data,
+                jnp.zeros(L2, bool),
+                jnp.int32(0),
+            ),
+        )
+        curT = st2[1]
+        agree = (st2[0] == ends_lane) | ~has_data
+        ok = (
+            jnp.all(sc[2])
+            & ~jnp.any(over)
+            & total_ok
+            & err_ok
+            & jnp.all(st2[3])
+            & ~jnp.any(st2[4])
+            & jnp.all(agree)
+        )
+        return curT, ok
+
+    if _raw:
+        return decode
+    import jax
+
+    return jax.jit(decode)
+
+
+# ------------------------------------------------------------ orchestration
+
+
+class _TailScanDecoder:
+    """Host decoder that SKIPS the first `skip` scans' entropy decode
+    (they ran on the chip) and decodes only the tail, seeded with the
+    device store — so the host does zero Huffman work for the on-chip
+    prefix."""
+
+    def __init__(self, data: bytes, skip: int, seed):
+        from ..codecs.jpeg.decoder import Decoder
+
+        outer = self
+
+        class _D(Decoder):
+            def __init__(self):
+                super().__init__(data)
+                self.collect_only = True
+                self._scan_no = 0
+
+            def process_sos(self, n: int) -> None:
+                if self._scan_no < skip:
+                    self._scan_no += 1
+                    # consume the SOS header + entropy bytes to the next
+                    # real marker (stuffed FF00 and RSTs are entropy data)
+                    self.read_full(n)
+                    d, p = self.data, self.pos
+                    while p < len(d) - 1:
+                        if (
+                            d[p] == 0xFF
+                            and d[p + 1] != 0x00
+                            and d[p + 1] != 0xFF
+                            and not (0xD0 <= d[p + 1] <= 0xD7)
+                        ):
+                            break
+                        p += 1
+                    self.pos = p
+                    return
+                if self._scan_no == skip and seed is not None:
+                    h0, v0 = self.component[0].h, self.component[0].v
+                    mxx = (self.width + 8 * h0 - 1) // (8 * h0)
+                    myy = (self.height + 8 * v0 - 1) // (8 * v0)
+                    if not self.img_allocated:
+                        self._make_img(mxx, myy)
+                    for c, arr in enumerate(seed):
+                        if arr is None:
+                            continue
+                        self._ensure_coeff(c)
+                        self.coeff[c][...] = arr
+                    outer.seeded = True
+                self._scan_no += 1
+                super().process_sos(n)
+
+        self.dec = _D()
+        self.seeded = False
+
+    def run(self):
+        self.dec.decode_inner(False)
+        return self.dec
+
+
+class OnchipProgressiveDecoder:
+    """Progressive JPEG batch with ON-CHIP first-scan entropy decode.
+
+    decode(datas) -> (device gray/RGB array, ok device bool).  The
+    device decodes every DC-first / AC-first / DC-refine scan of the
+    shared scan script (the standard libjpeg script's entire spectral
+    pass); only AC refinements run host-side, seeded by ONE store fetch.
+    ok=False (failed speculative verification, unsupported script) ->
+    decode_verified falls back to the host decoder.
+    """
+
+    def __init__(self, *, chunk_bytes: int = 64, k1: int | None = None,
+                 k2: int | None = None, W: int | None = None):
+        self.chunk_bytes = chunk_bytes
+        self.k1, self.k2, self.W = k1, k2, W
+        self._fns: dict = {}
+        self._recon_fns: dict = {}
+
+    # ---------------- host-side geometry helpers
+
+    def _valid_idx(self, plan: ProgPlan, c: int) -> np.ndarray:
+        """Raster indices of the component's VALID blocks
+        (decoder.py:525-529: 8px origin inside the image)."""
+        hc, vc = plan.hv[c]
+        bw, bh = plan.mxx * hc, plan.myy * vc
+        bx = np.arange(bw) * 8 < plan.width
+        by = np.arange(bh) * 8 < plan.height
+        mask = by[:, None] & bx[None, :]
+        return np.flatnonzero(mask.reshape(-1)).astype(np.int32)
+
+    def _mcu_grid_idx(self, plan: ProgPlan, scan_comps: tuple) -> list:
+        """Per scan component: flat grid index of each of its blocks in
+        MCU-interleaved stream order (decoder.py:520-523)."""
+        out = []
+        for c in scan_comps:
+            hc, vc = plan.hv[c]
+            bw = plan.mxx * hc
+            idxs = np.empty(plan.mxx * plan.myy * hc * vc, np.int64)
+            t = 0
+            for my in range(plan.myy):
+                for mx in range(plan.mxx):
+                    for j in range(hc * vc):
+                        bxx = hc * mx + (j % hc)
+                        byy = vc * my + (j // hc)
+                        idxs[t] = byy * bw + bxx
+                        t += 1
+            out.append(idxs)
+        return out
+
+    def _stack_streams(self, streams: list) -> tuple:
+        """Concatenate per-image scan streams (8-aligned) + pad."""
+        offs, total = [], 0
+        for s in streams:
+            offs.append(total)
+            total += (len(s) + 7) // 8 * 8
+        cap = 1 << max(12, (total + 64 - 1).bit_length())
+        flat = np.zeros(cap, np.uint8)
+        for s, o in zip(streams, offs):
+            flat[o : o + len(s)] = s
+        if getattr(self, "salt", None) is not None:
+            # Replay-proofing for benchmarks on the tunneled backend: the
+            # terminal caches results per (program, inputs), and
+            # progressive tables are content-baked, so honest repeat
+            # timing salts the semantically-inert tail of the packed
+            # buffer (never decoded: every lane stops at its image's
+            # bit end) to make each step's inputs byte-distinct.
+            tail0 = min(total + 8, cap)
+            rng = np.random.RandomState(self.salt & 0x7FFFFFFF)
+            flat[tail0:] = rng.randint(0, 256, cap - tail0, dtype=np.uint8)
+        starts = np.array([o * 8 for o in offs], np.int64)
+        ends = np.array(
+            [(o + len(s)) * 8 for o, s in zip(offs, streams)], np.int64
+        )
+        n_chunks = (max(len(s) for s in streams) + self.chunk_bytes - 1) \
+            // self.chunk_bytes
+        n_chunks = max(1, (n_chunks + 7) // 8 * 8)
+        return flat, starts, ends, n_chunks
+
+    # ---------------- per-scan device dispatch
+
+    def _run_dc_first(self, plans, s: int, state, jnp):
+        import jax
+
+        p0 = plans[0]
+        sc: ScanInfo = p0.scans[s]
+        interleaved = len(sc.comps) > 1
+        order = []
+        for td in sc.td:
+            if (0, td) not in order:
+                order.append((0, td))
+        cmp = CmpTables([sc.huffs[kk] for kk in order])
+        tid_of_comp = {c: order.index((0, sc.td[i]))
+                       for i, c in enumerate(sc.comps)}
+        if interleaved:
+            tid_of_slot = []
+            for c in sc.comps:
+                tid_of_slot += [tid_of_comp[c]] * (
+                    p0.hv[c][0] * p0.hv[c][1]
+                )
+            nblk = p0.mxx * p0.myy * len(tid_of_slot)
+            grid_maps = self._mcu_grid_idx(p0, sc.comps)
+        else:
+            c = sc.comps[0]
+            tid_of_slot = [tid_of_comp[c]]
+            vidx = self._valid_idx(p0, c)
+            nblk = len(vidx)
+        flat, starts, ends, F = self._stack_streams(
+            [pl.scans[s].stream for pl in plans]
+        )
+        key = ("dc", self._cur_key, s, len(plans), F, flat.shape[0])
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = build_dc_first_fn(
+                batch=len(plans), n_chunks=F, chunk_bytes=self.chunk_bytes,
+                cmp=cmp, tid_of_slot=tuple(tid_of_slot), nblk_total=nblk,
+                k1=self.k1, W=self.W,
+            )
+            self._fns[key] = fn
+        import jax as _jax
+
+        diffs, ok = fn(
+            _jax.device_put(flat), _jax.device_put(starts),
+            _jax.device_put(ends),
+        )
+        B = len(plans)
+        al = sc.al
+        if interleaved:
+            bpm = len(tid_of_slot)
+            d3 = diffs.reshape(B, p0.mxx * p0.myy, bpm)
+            s0 = 0
+            for i, c in enumerate(sc.comps):
+                nb = p0.hv[c][0] * p0.hv[c][1]
+                seq = d3[:, :, s0 : s0 + nb].reshape(B, -1)
+                dc = jnp.cumsum(seq, axis=1) << al  # decoder.py:552-554
+                pos = jnp.asarray(grid_maps[i] * 64)
+                state[c] = state[c].at[:, pos].set(dc)
+                s0 += nb
+        else:
+            c = sc.comps[0]
+            dc = jnp.cumsum(diffs, axis=1) << al
+            pos = jnp.asarray(vidx.astype(np.int64) * 64)
+            state[c] = state[c].at[:, pos].set(dc)
+        return ok
+
+    def _run_ac_first(self, plans, s: int, state, jnp):
+        import jax as _jax
+
+        p0 = plans[0]
+        sc: ScanInfo = p0.scans[s]
+        c = sc.comps[0]
+        cmp = CmpTables([sc.huffs[(1, sc.ta[0])]])
+        vidx = self._valid_idx(p0, c)
+        nvalid = len(vidx)
+        flat, starts, ends, F = self._stack_streams(
+            [pl.scans[s].stream for pl in plans]
+        )
+        key = ("ac", self._cur_key, s, len(plans), F, flat.shape[0])
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = build_ac_first_fn(
+                batch=len(plans), n_chunks=F, chunk_bytes=self.chunk_bytes,
+                cmp=cmp, tid=0, ss=sc.ss, se=sc.se, nvalid=nvalid,
+                k1=self.k1, k2=self.k2, W=self.W,
+            )
+            self._fns[key] = fn
+        curT, ok = fn(
+            _jax.device_put(flat), _jax.device_put(starts),
+            _jax.device_put(ends),
+        )
+        B = len(plans)
+        hc, vc = p0.hv[c]
+        nblk_c = p0.mxx * hc * p0.myy * vc
+        # [64, B*nvalid] -> [B, nvalid, 64] natural order, << Al
+        vals = jnp.transpose(curT.reshape(64, B, nvalid), (1, 2, 0)) << sc.al
+        contrib = (
+            jnp.zeros((B, nblk_c, 64), jnp.int32)
+            .at[:, jnp.asarray(vidx)]
+            .set(vals)
+        )
+        state[c] = state[c] + contrib.reshape(B, nblk_c * 64)
+        return ok
+
+    def _run_dc_refine(self, plans, s: int, state, jnp):
+        import jax as _jax
+
+        p0 = plans[0]
+        sc: ScanInfo = p0.scans[s]
+        B = len(plans)
+        al = sc.al
+        if len(sc.comps) > 1:
+            grid_maps = self._mcu_grid_idx(p0, sc.comps)
+            bpm = sum(p0.hv[c][0] * p0.hv[c][1] for c in sc.comps)
+            nblk = p0.mxx * p0.myy * bpm
+        else:
+            c0 = sc.comps[0]
+            vidx = self._valid_idx(p0, c0)
+            nblk = len(vidx)
+        nbytes = (nblk + 7) // 8
+        rows = np.zeros((B, nbytes), np.uint8)
+        okh = True
+        for b, pl in enumerate(plans):
+            st = pl.scans[s].stream
+            if len(st) < nbytes:
+                okh = False
+                st = np.pad(st, (0, nbytes - len(st)))
+            rows[b] = st[:nbytes]
+        # one raw bit per block, MSB-first (decoder.py:199-205 bit reader)
+        bits = jnp.unpackbits(_jax.device_put(rows), axis=1)[:, :nblk]
+        delta = jnp.int32(1 << al)
+        if len(sc.comps) > 1:
+            # bits are in MCU-interleaved block order; slice per component
+            s0 = 0
+            bl = []
+            for c in sc.comps:
+                bl.append(p0.hv[c][0] * p0.hv[c][1])
+            bpm = sum(bl)
+            b3 = bits.reshape(B, p0.mxx * p0.myy, bpm)
+            s0 = 0
+            for i, c in enumerate(sc.comps):
+                nb = bl[i]
+                bseq = b3[:, :, s0 : s0 + nb].reshape(B, -1)
+                pos = jnp.asarray(grid_maps[i] * 64)
+                cur = state[c][:, pos]
+                state[c] = state[c].at[:, pos].set(
+                    jnp.where(bseq > 0, cur | delta, cur)
+                )
+                s0 += nb
+        else:
+            c = sc.comps[0]
+            pos = jnp.asarray(vidx.astype(np.int64) * 64)
+            cur = state[c][:, pos]
+            state[c] = state[c].at[:, pos].set(
+                jnp.where(bits > 0, cur | delta, cur)
+            )
+        import jax.numpy as _jnp
+
+        return _jnp.asarray(okh)
+
+    # ---------------- public API
+
+    def decode(self, datas: list[bytes]):
+        import jax
+        import jax.numpy as jnp
+
+        from .batch import _gray_graph, _ycbcr_graph
+
+        if not datas:
+            raise ValueError("jpeg: empty batch")
+        plans = [parse_progressive(d) for d in datas]
+        p0 = plans[0]
+
+        def script_key(pl):
+            return (
+                pl.width, pl.height, pl.ncomp, pl.hv,
+                tuple(
+                    (s.comps, s.td, s.ta, s.ss, s.se, s.ah, s.al,
+                     tuple(sorted(
+                         (k, tuple(t.vals[: t.num_codes]))
+                         for k, t in s.huffs.items()
+                     )))
+                    for s in pl.scans
+                ),
+            )
+
+        k0 = script_key(p0)
+        self._cur_key = k0
+        for pl in plans[1:]:
+            if script_key(pl) != k0:
+                raise UnsupportedError(
+                    "jpeg: progressive batch must share geometry, scan "
+                    "script, and tables"
+                )
+        if p0.ncomp not in (1, 3):
+            raise UnsupportedError(
+                "jpeg: on-chip progressive covers gray/YCbCr"
+            )
+
+        B = len(datas)
+        shapes = [
+            (p0.myy * p0.hv[c][1], p0.mxx * p0.hv[c][0], 64)
+            for c in range(p0.ncomp)
+        ]
+        state = [
+            jnp.zeros((B, int(np.prod(shapes[c]))), jnp.int32)
+            for c in range(p0.ncomp)
+        ]
+
+        # device-decodable PREFIX of the scan script
+        n_prefix = 0
+        for s in p0.scans:
+            if s.kind == "ac_refine":
+                break
+            if s.kind == "ac_first" and len(s.comps) != 1:
+                break
+            n_prefix += 1
+
+        ok = jnp.asarray(True)
+        for si in range(n_prefix):
+            kind = p0.scans[si].kind
+            if kind == "dc_first":
+                ok = ok & self._run_dc_first(plans, si, state, jnp)
+            elif kind == "ac_first":
+                ok = ok & self._run_ac_first(plans, si, state, jnp)
+            else:
+                ok = ok & self._run_dc_refine(plans, si, state, jnp)
+
+        if n_prefix < len(p0.scans):
+            # host tail: ONE store fetch seeds the refinement decode
+            seeds = [
+                np.asarray(state[c]).reshape((B,) + shapes[c])
+                for c in range(p0.ncomp)
+            ]
+            for b, data in enumerate(datas):
+                tail = _TailScanDecoder(
+                    data, n_prefix, [seeds[c][b] for c in range(p0.ncomp)]
+                )
+                dec = tail.run()
+                for c in range(p0.ncomp):
+                    diff = dec.coeff[c].astype(np.int64).reshape(-1) - \
+                        seeds[c][b].astype(np.int64).reshape(-1)
+                    nz = np.flatnonzero(diff)
+                    if len(nz):
+                        state[c] = state[c].at[b, jnp.asarray(nz)].add(
+                            jnp.asarray(diff[nz].astype(np.int32))
+                        )
+
+        quants = [
+            jnp.asarray(np.stack([pl.quants[c] for pl in plans]))
+            for c in range(p0.ncomp)
+        ]
+        key = (k0[:4], B)
+        fn = self._recon_fns.get(key)
+        if fn is None:
+
+            def recon(st, qs):
+                grids = [
+                    st[c].reshape((B,) + shapes[c])
+                    for c in range(p0.ncomp)
+                ]
+                if p0.ncomp == 1:
+                    return _gray_graph(
+                        grids[0], qs[0], height=p0.height, width=p0.width
+                    )
+                return _ycbcr_graph(
+                    grids[0], grids[1], grids[2], *qs,
+                    height=p0.height, width=p0.width, ratio=p0.ratio,
+                )
+
+            fn = jax.jit(recon)
+            self._recon_fns[key] = fn
+        return fn(state, quants), ok
+
+    def decode_verified(self, datas: list[bytes]) -> np.ndarray:
+        """Host numpy output with whole-batch host fallback on ok=False."""
+        out, ok = self.decode(datas)
+        if bool(ok):
+            return np.asarray(out)
+        from ..codecs.jpeg import decoder as host
+
+        outs = []
+        for d in datas:
+            img = host.decode(d)
+            from ..color import ycbcr_to_rgb8
+
+            if img.__class__.__name__ == "GrayImage":
+                outs.append(img.pix)
+            else:
+                cb, cr = img.upsampled_cbcr()
+                r, g, b = ycbcr_to_rgb8(img.y, cb, cr)
+                outs.append(np.stack([r, g, b], axis=-1))
+        return np.stack(outs)

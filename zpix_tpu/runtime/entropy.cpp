@@ -1264,6 +1264,6 @@ extern "C" int zpix_parse_baseline_batch(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 12; }
+int zpix_entropy_abi_version() { return 13; }
 
 }  // extern "C"

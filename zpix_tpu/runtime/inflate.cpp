@@ -23,26 +23,56 @@ constexpr int kErrFormat = 101;  // mirrors runtime.ERR_FORMAT
 struct BitIn {
   const uint8_t* p;
   int64_t n;
-  int64_t pos = 0;   // next byte
-  uint32_t acc = 0;  // LSB-first accumulator
-  int bits = 0;
+  int64_t pos = 0;   // next byte to BUFFER (may run ahead of consumption)
+  uint64_t acc = 0;  // LSB-first accumulator
+  int bits = 0;      // valid low bits of acc
   bool fail = false;
 
+  // Bulk refill: one 8-byte load tops the accumulator to >= 56 bits
+  // (the classic inflate_fast trick); byte loop near stream end.
+  inline void refill() {
+    if (pos + 8 <= n) {
+      uint64_t w;
+      memcpy(&w, p + pos, 8);
+      acc |= w << bits;
+      int take = (63 - bits) >> 3;
+      pos += take;
+      bits += take * 8;
+    } else {
+      while (bits < 56 && pos < n) {
+        acc |= uint64_t(p[pos++]) << bits;
+        bits += 8;
+      }
+    }
+  }
+
   inline uint32_t get(int k) {  // k <= 16
-    while (bits < k) {
-      if (pos >= n) {
+    if (bits < k) {
+      refill();
+      if (bits < k) {
         fail = true;
         return 0;
       }
-      acc |= uint32_t(p[pos++]) << bits;
-      bits += 8;
     }
-    uint32_t v = acc & ((1u << k) - 1);
+    uint32_t v = uint32_t(acc) & ((1u << k) - 1);
     acc >>= k;
     bits -= k;
     return v;
   }
+  // Top up the accumulator to >= k bits WITHOUT consuming (LUT peek).
+  // Returns false near stream end when fewer than k bits remain.
+  inline bool fill(int k) {
+    if (bits < k) refill();
+    return bits >= k;
+  }
+  inline void drop(int k) {
+    acc >>= k;
+    bits -= k;
+  }
   inline void align() {
+    // Discard the partial byte and rewind `pos` over the buffered
+    // whole bytes (refill runs ahead of consumption).
+    pos -= bits >> 3;
     acc = 0;
     bits = 0;
   }
@@ -97,6 +127,49 @@ struct Huff {
   }
 };
 
+// One-level LUT on top of Huff: index by the next kRoot accumulator bits
+// (LSB-first, so codes are bit-reversed into the table); codes longer
+// than kRoot (rare in real streams) fall back to Huff's bit loop.  This
+// is what makes the symbol-resolve pass libdeflate-class instead of
+// ~5x slower (measured 87 -> see tools/inflate_bench.py).
+struct LutHuff {
+  static constexpr int kRoot = 10;
+  Huff slow;
+  uint16_t lut[1 << kRoot];  // (len << 9) | sym;  0 = overlong/invalid
+
+  bool build(const uint8_t* lens, int n) {
+    if (!slow.build(lens, n)) return false;
+    memset(lut, 0, sizeof(lut));
+    // Recover each symbol's canonical code from the per-length tables.
+    int32_t next_code[16];
+    for (int l = 1; l <= 15; l++) next_code[l] = slow.first_code[l];
+    for (int l = 1; l <= kRoot; l++) {
+      for (int i = 0; i < slow.count[l]; i++) {
+        int sym = slow.syms[slow.first_sym[l] + i];
+        uint32_t code = uint32_t(next_code[l]++);
+        // reverse the l code bits (codes are MSB-first on the wire,
+        // the accumulator is LSB-first)
+        uint32_t rev = 0;
+        for (int b = 0; b < l; b++) rev |= ((code >> b) & 1u) << (l - 1 - b);
+        uint16_t e = uint16_t((l << 9) | sym);
+        for (uint32_t j = rev; j < (1u << kRoot); j += (1u << l)) lut[j] = e;
+      }
+    }
+    return true;
+  }
+
+  inline int decode(BitIn& in) const {
+    if (in.fill(kRoot)) {
+      uint16_t e = lut[uint32_t(in.acc) & ((1u << kRoot) - 1)];
+      if (e) {
+        in.drop(e >> 9);
+        return e & 0x1FF;
+      }
+    }
+    return slow.decode(in);  // overlong code or near stream end
+  }
+};
+
 // RFC 1951 3.2.5 length/distance tables.
 constexpr int kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
@@ -146,7 +219,7 @@ int64_t zpix_inflate_tokens(const uint8_t* src, int64_t n, int zlib_wrap,
   }
 
   int64_t nt = 0, produced = 0;
-  Huff lit, dist;
+  LutHuff lit, dist;
   uint8_t lit_lens[288], dist_lens[32], cl_lens[19], all_lens[320];
 
   for (;;) {
@@ -213,7 +286,62 @@ int64_t zpix_inflate_tokens(const uint8_t* src, int64_t n, int zlib_wrap,
           return -kErrFormat;
       }
       for (;;) {  // symbol loop
-        int s = lit.decode(in);
+        // Fast path: one refill covers a whole token — litlen code
+        // (<=15) + length extra (<=5) + dist code (<=15) + dist extra
+        // (<=13) = 48 bits — so decode fields straight off the
+        // accumulator.  Falls to the checked path near stream end or
+        // on root-table misses (codes longer than kRoot).
+        int s;
+        if (in.fill(48) && nt < max_tokens) {
+          uint16_t e = lit.lut[uint32_t(in.acc) & ((1u << LutHuff::kRoot) - 1)];
+          if (e) {
+            in.drop(e >> 9);
+            s = e & 0x1FF;
+            if (s < 256) {
+              if (produced >= max_out) return -102;
+              lens[nt] = 1;
+              dists[nt] = 0;
+              lits[nt] = uint8_t(s);
+              nt++;
+              produced++;
+              continue;
+            }
+            if (s == 256) break;
+            if (s > 285) return -kErrFormat;
+            int li = s - 257;
+            int length =
+                kLenBase[li] +
+                (uint32_t(in.acc) & ((1u << kLenExtra[li]) - 1));
+            in.drop(kLenExtra[li]);
+            uint16_t de =
+                dist.lut[uint32_t(in.acc) & ((1u << LutHuff::kRoot) - 1)];
+            int ds, distance;
+            if (de) {
+              in.drop(de >> 9);
+              ds = de & 0x1FF;
+              if (ds > 29) return -kErrFormat;
+              distance = kDistBase[ds] +
+                         (uint32_t(in.acc) & ((1u << kDistExtra[ds]) - 1));
+              in.drop(kDistExtra[ds]);
+            } else {
+              // overlong dist code: bit loop may drain the accumulator,
+              // so the extra bits go through the checked reader
+              ds = dist.slow.decode(in);
+              if (ds < 0 || ds > 29) return -kErrFormat;
+              distance = kDistBase[ds] + int(in.get(kDistExtra[ds]));
+              if (in.fail) return -kErrFormat;
+            }
+            if (distance > produced) return -kErrFormat;
+            if (produced + length > max_out) return -102;
+            lens[nt] = length;
+            dists[nt] = distance;
+            lits[nt] = 0;
+            nt++;
+            produced += length;
+            continue;
+          }
+        }
+        s = lit.decode(in);
         if (s < 0) return -kErrFormat;
         if (s < 256) {
           if (nt >= max_tokens || produced >= max_out) return -102;
