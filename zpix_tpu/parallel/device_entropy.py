@@ -337,8 +337,13 @@ def _destuff(data: bytes, scan_start: int):
     return out, (starts - dropped_before).astype(np.int64)
 
 
-def prep_batch(datas: list[bytes]) -> ScanPlan:
-    """Parse/destuff a batch; all images must share geometry AND tables."""
+def prep_batch(datas: list[bytes], cap_hint: int | None = None) -> ScanPlan:
+    """Parse/destuff a batch; all images must share geometry AND tables.
+
+    cap_hint: minimum stream-buffer capacity (bytes).  Batches whose
+    pow2 bucket would be smaller adopt the hint, so a run over many
+    distinct-content batches keeps ONE buffer layout (and ONE compiled
+    program) even when totals straddle a pow2 boundary."""
     if not datas:
         raise ValueError("jpeg: empty batch")
     first = None
@@ -401,7 +406,7 @@ def prep_batch(datas: list[bytes]) -> ScanPlan:
         total += (len(s) + 7) // 8 * 8
     # bucket the stream size (power of two) so the jitted kernel re-traces
     # only per (geometry, tables, batch, size-bucket), not per byte count
-    cap = 1 << max(12, (total + 16 - 1).bit_length())
+    cap = 1 << max(12, (max(total + 16, cap_hint or 0) - 1).bit_length())
     flat = np.zeros(cap, np.uint8)
     for s, o in zip(streams, offs):
         flat[o : o + len(s)] = s
