@@ -51,6 +51,8 @@ VARIANTS = {
     "p1k32w10": dict(packed=True, k1_syms=32, win1_words=10, _prefetch=True),
     "p1k32w12": dict(packed=True, k1_syms=32, win1_words=12, _prefetch=True),
     "p1k48w16": dict(packed=True, k1_syms=48, win1_words=16, _prefetch=True),
+    "p1k64w20": dict(packed=True, k1_syms=64, win1_words=20, _prefetch=True),
+    "p1k40w12": dict(packed=True, k1_syms=40, win1_words=12, _prefetch=True),
     # restart-interval granularity (shorter segments = fewer pass-1 steps)
     "dri2": dict(packed=True, _prefetch=True, _dri=2),
     "dri8": dict(packed=True, _prefetch=True, _dri=8),
