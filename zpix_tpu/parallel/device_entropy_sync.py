@@ -82,8 +82,13 @@ class SyncPlan:
     cache_key: tuple = None
 
 
-def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
-    """Parse/destuff a batch of restart-free baseline JPEGs."""
+def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32,
+                    cap_hint: int | None = None) -> SyncPlan:
+    """Parse/destuff a batch of restart-free baseline JPEGs.
+
+    cap_hint: minimum stream-buffer capacity, so distinct-content
+    batches straddling a pow2 boundary share one buffer layout (and one
+    compiled program) — see device_entropy.prep_batch."""
     if not datas:
         raise ValueError("jpeg: empty batch")
     first = None
@@ -132,7 +137,7 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
     for s in streams:
         offs.append(total)
         total += (len(s) + 7) // 8 * 8
-    cap = 1 << max(12, (total + 16 - 1).bit_length())
+    cap = 1 << max(12, (max(total + 16, cap_hint or 0) - 1).bit_length())
     flat = np.zeros(cap, np.uint8)
     for s, o in zip(streams, offs):
         flat[o : o + len(s)] = s
@@ -171,10 +176,14 @@ def prep_batch_sync(datas: list[bytes], chunk_bytes: int = 32) -> SyncPlan:
 def build_sync_decode_fn(
     plan: SyncPlan, *, k_syms: int | None = None, max_rounds: int | None = None,
     win_words: int | None = None, k1_syms: int | None = None,
-    _raw: bool = False,
+    _raw: bool = False, _stage: int = 4,
 ):
     """Returns a jitted fn: (stream, img_bit_start, img_bit_end) ->
-    (coeffs [B, n_mcu*bpm, 64] int16 natural-order, ok flag)."""
+    (coeffs [B, n_mcu*bpm, 64] int16 natural-order, ok flag).
+
+    _stage truncations for profiling: 1 = sync rounds only (returns the
+    converged entry bits + round count), 2 = + record scan, 3 = +
+    assembly, 4 = full (+ value pass and DC restore)."""
     import jax
     import jax.numpy as jnp
 
@@ -364,6 +373,8 @@ def build_sync_decode_fn(
             lambda s: s[1] & (s[2] < rounds_cap), sync_round, st
         )
         entries, _, _rounds = st
+        if _stage == 1:  # profiling: speculative sync only
+            return entries[0], _rounds
 
         # ---- phase 3: index scan from converged entries
         sc = scan_chunks(entries, record=True)
@@ -378,6 +389,8 @@ def build_sync_decode_fn(
         # final real block must end within the last byte of the entropy
         # data, and any decode error must lie at/after that end (i.e., in
         # the padding).  Real blocks are checked exactly by the value pass.
+        if _stage == 2:  # profiling: + record scan
+            return ends_chunk, cnt
         cnt_img = cnt.reshape(B, F)
         total_ok = jnp.all(jnp.sum(cnt_img, axis=1) >= nblk_img)
 
@@ -402,6 +415,8 @@ def build_sync_decode_fn(
         last_end = ends_global[:, -1]  # end of each image's final real block
         end_ok = jnp.all((last_end <= img_end) & (last_end >= img_end - 7))
         err_ok = jnp.all(err_bit_scan >= last_end[lane_img])
+        if _stage == 3:  # profiling: + assembly
+            return ends_global, end_ok & err_ok & total_ok
 
         # ---- phase 5: value pass (one lane per block) + DC fix
         L2 = B * nblk_img

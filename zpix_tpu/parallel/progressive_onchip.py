@@ -34,11 +34,23 @@ every scan before it), and refinements apply as sparse deltas
 (progressive.py machinery).  The standard libjpeg scan script orders
 all first scans before all refinements, so the whole spectral decode of
 a typical progressive file runs on the chip.
+
+Why AC refinement does NOT use the speculative-chunk machinery (design
+note): its bit consumption is gated on each block's nonzero pattern —
+every nonzero coefficient crossed costs one correction bit, and
+EOB-covered blocks still consume bits.  A speculative lane would need
+its absolute block index to gather the right mask, and a wrong guess
+cannot self-synchronize the way plain Huffman lookahead does (the mask
+gather poisons every subsequent symbol), so fixed-point convergence
+degenerates to one chunk per round — serial.  The parallelizable split
+for round 4 is host INDEX pass (the native C++ scan already walks
+refinement bits; emit per-block offsets) + device value pass (apply
+corrections from known offsets, mask-parallel).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -900,8 +912,6 @@ class OnchipProgressiveDecoder:
     # ---------------- per-scan device dispatch
 
     def _run_dc_first(self, plans, s: int, state, jnp):
-        import jax
-
         p0 = plans[0]
         sc: ScanInfo = p0.scans[s]
         interleaved = len(sc.comps) > 1
@@ -1126,16 +1136,30 @@ class OnchipProgressiveDecoder:
                 ok = ok & self._run_dc_refine(plans, si, state, jnp)
 
         if n_prefix < len(p0.scans):
-            # host tail: ONE store fetch seeds the refinement decode
+            # host tail: ONE store fetch seeds the refinement decode;
+            # images are independent, so the tail runs threaded (the
+            # native refinement scan releases the GIL)
+            from concurrent.futures import ThreadPoolExecutor
+
             seeds = [
                 np.asarray(state[c]).reshape((B,) + shapes[c])
                 for c in range(p0.ncomp)
             ]
-            for b, data in enumerate(datas):
+
+            def run_tail(b):
                 tail = _TailScanDecoder(
-                    data, n_prefix, [seeds[c][b] for c in range(p0.ncomp)]
+                    datas[b], n_prefix,
+                    [seeds[c][b] for c in range(p0.ncomp)],
                 )
-                dec = tail.run()
+                return tail.run()
+
+            import os as _os
+
+            with ThreadPoolExecutor(
+                max_workers=min(B, _os.cpu_count() or 2)
+            ) as ex:
+                decs = list(ex.map(run_tail, range(B)))
+            for b, dec in enumerate(decs):
                 for c in range(p0.ncomp):
                     diff = dec.coeff[c].astype(np.int64).reshape(-1) - \
                         seeds[c][b].astype(np.int64).reshape(-1)

@@ -60,7 +60,10 @@ class QoiPlan:
     cache_key: tuple = None
 
 
-def prep_qoi_batch(datas: list[bytes], chunk_bytes: int | None = None) -> QoiPlan:
+def prep_qoi_batch(datas: list[bytes], chunk_bytes: int | None = None,
+                   cap_hint: int | None = None) -> QoiPlan:
+    """cap_hint: minimum stream-buffer capacity (shared-layout batches,
+    see device_entropy.prep_batch)."""
     if not datas:
         raise ValueError("qoi: empty batch")
     cb = chunk_bytes or _DEF_CHUNK
@@ -80,7 +83,7 @@ def prep_qoi_batch(datas: list[bytes], chunk_bytes: int | None = None) -> QoiPla
     for r in regions:
         offs.append(total)
         total += (len(r) + 7) // 8 * 8
-    cap = 1 << max(12, (total + 16 - 1).bit_length())
+    cap = 1 << max(12, (max(total + 16, cap_hint or 0) - 1).bit_length())
     flat = np.zeros(cap, np.uint8)
     for r, o in zip(regions, offs):
         flat[o : o + len(r)] = r
@@ -95,7 +98,10 @@ def prep_qoi_batch(datas: list[bytes], chunk_bytes: int | None = None) -> QoiPla
             [o + len(r) for o, r in zip(offs, regions)], np.int32
         ),
         chunk_bytes=cb,
-        n_chunks=(max(op_lens) + cb - 1) // cb,
+        # bucket the chunk count (extra chunks start past img_byte_end
+        # and stay inactive) so distinct-content batches share compiled
+        # programs; the count also keys the program cache below
+        n_chunks=((max(op_lens) + cb - 1) // cb + 31) // 32 * 32,
         batch=len(datas),
         cache_key=(dims, len(datas), cb),
     )
@@ -397,7 +403,7 @@ class BatchQoiDecoder:
         with trace("qoi_onchip.prep"):
             plan = prep_qoi_batch(datas, self.chunk_bytes)
         metrics.count("qoi_onchip.images", len(datas))
-        key = (plan.cache_key, int(plan.stream.shape[0]))
+        key = (plan.cache_key, int(plan.stream.shape[0]), plan.n_chunks)
         fn = self._fns.get(key)
         if fn is None:
             fn = build_qoi_decode_fn(plan, k_ops=self.k_ops, mesh=self.mesh)
