@@ -233,11 +233,15 @@ def build_sync_decode_fn(
         chunk_end = jnp.minimum(chunk_start + C_BITS, img_end[lane_img])
         chunk_start = jnp.minimum(chunk_start, img_end[lane_img])
 
-        def scan_chunks(entries, record):
+        def scan_chunks(entries, record, chunk_end_l=None):
             """Decode every chunk from its entry to the first symbol
             boundary past its end.  record=False: sync scan (exit states
-            only).  record=True: index scan (block ends + counts too)."""
+            only).  record=True: index scan (block ends + counts too).
+            chunk_end_l overrides the per-lane end bits (the variant
+            pre-scan runs V slot guesses per chunk: V*L lanes)."""
             e_bit, e_slot, e_k, e_phase = entries
+            ce = chunk_end if chunk_end_l is None else chunk_end_l
+            Ll = e_bit.shape[0]
 
             def body(st):
                 (bit_pos, slot, k, phase, done, err_bit, ends, cnt, steps) = st
@@ -302,7 +306,7 @@ def build_sync_decode_fn(
                         bad, jnp.minimum(err_bit, base + off), err_bit
                     )
                     # stop at the first symbol boundary past the chunk end
-                    done = done | (base + off >= chunk_end) | bad
+                    done = done | (base + off >= ce) | bad
                 if record:
                     arb = jnp.arange(mb)[None, :]
                     ends = ends + sum(
@@ -314,9 +318,9 @@ def build_sync_decode_fn(
 
             def cond(st):
                 n_done = jnp.sum(st[4].astype(jnp.int32))
-                return (n_done < L) & (st[8] < inner_cap)
+                return (n_done < Ll) & (st[8] < inner_cap)
 
-            ends0 = jnp.zeros((L, mb if record else 1), jnp.int32)
+            ends0 = jnp.zeros((Ll, mb if record else 1), jnp.int32)
             st = jax.lax.while_loop(
                 cond,
                 body,
@@ -325,10 +329,10 @@ def build_sync_decode_fn(
                     e_slot,
                     e_k,
                     e_phase,
-                    e_bit >= chunk_end,  # empty chunk: exit == entry
-                    jnp.full(L, 2**30, jnp.int32),  # err_bit sentinel
+                    e_bit >= ce,  # empty chunk: exit == entry
+                    jnp.full(Ll, 2**30, jnp.int32),  # err_bit sentinel
                     ends0,
-                    jnp.zeros(L, jnp.int32),
+                    jnp.zeros(Ll, jnp.int32),
                     jnp.int32(0),
                 ),
             )
@@ -342,7 +346,7 @@ def build_sync_decode_fn(
             jnp.zeros(L, jnp.int32),
         )
 
-        def shift(exits):
+        def shift(exits):  # noqa: E306  (defined below, used by seeding)
             """entries[i] := exits[i-1] within each image; first chunk's
             entry is the true scan start."""
             out = []
@@ -367,6 +371,49 @@ def build_sync_decode_fn(
             for a, bb in zip(new_entries, entries):
                 changed = changed | jnp.any(a != bb)
             return (new_entries, changed, rounds + 1)
+
+        # ---- slot-variant funnel seeding.  A single slot-0 guess cannot
+        # self-synchronize: the component-interleave phase (which Huffman
+        # table comes next) only corrects via propagation, and the fixed
+        # point measured 360 rounds at bpm=6 — serial (tools/
+        # profile_sync.py, 2026-08-21).  Scanning every chunk from ALL
+        # bpm slot guesses restores classic Huffman self-sync: the
+        # variant whose slot phase matches the truth merges with the true
+        # trajectory within the chunk, so its exit is exact.  The modal
+        # exit across variants (the "funnel" value) seeds the entries;
+        # the EXACT fixed point below then converges in a few rounds and
+        # still guarantees bit-exactness (a bad seed only costs rounds).
+        if bpm > 1:
+            V = bpm
+            entries_v = (
+                jnp.tile(chunk_start, V),
+                jnp.repeat(jnp.arange(V, dtype=jnp.int32), L),
+                jnp.zeros(V * L, jnp.int32),
+                jnp.zeros(V * L, jnp.int32),
+            )
+            sv = scan_chunks(
+                entries_v, record=False, chunk_end_l=jnp.tile(chunk_end, V)
+            )
+            ex_v = tuple(
+                x.reshape(V, L) for x in (sv[0], sv[1], sv[2], sv[3])
+            )
+            counts = []
+            for v in range(V):
+                cv = jnp.zeros(L, jnp.int32)
+                for u in range(V):
+                    same = jnp.ones(L, bool)
+                    for f in range(4):
+                        same = same & (ex_v[f][v] == ex_v[f][u])
+                    cv = cv + same.astype(jnp.int32)
+                counts.append(cv)
+            best_v = jnp.argmax(jnp.stack(counts), axis=0)  # [L]
+            modal = []
+            for f in range(4):
+                m = ex_v[f][0]
+                for v in range(1, V):
+                    m = jnp.where(best_v == v, ex_v[f][v], m)
+                modal.append(m)
+            guess = shift(tuple(modal))
 
         st = (guess, jnp.ones((), bool), jnp.int32(0))
         st = jax.lax.while_loop(
