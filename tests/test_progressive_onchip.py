@@ -86,3 +86,41 @@ def test_onchip_progressive_rejects_baseline(testdata):
         data = f.read()
     with pytest.raises(UnsupportedError):
         parse_progressive(data)
+
+
+def test_onchip_progressive_corrupt_falls_back(testdata):
+    """A corrupted scan body must fail the exact verification (ok=False)
+    and decode_verified must return the host decoder's result for the
+    same stream — never silently wrong pixels."""
+    path = os.path.join(testdata, "video-001.q50.444.progressive.jpeg")
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+    # flip bits inside the FIRST scan's entropy data (after the first SOS)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    seg_len = (data[sos + 2] << 8) | data[sos + 3]
+    p = sos + 2 + seg_len + 40
+    for i in range(12):
+        b = data[p + i] ^ 0x55
+        # avoid creating/destroying marker framing bytes
+        if b in (0xFF, 0x00) or data[p + i] in (0xFF, 0x00):
+            continue
+        data[p + i] = b
+    data = bytes(data)
+    dec = OnchipProgressiveDecoder(**_KW)
+    try:
+        host.decode(data)
+    except Exception:
+        # host rejects it too: the on-chip path must not accept it
+        out, ok = dec.decode([data, data])
+        assert not bool(ok)
+        return
+    out, ok = dec.decode([data, data])
+    if bool(ok):
+        # both decoders accepted the damaged stream: results must agree
+        want = _want(data)
+        assert np.array_equal(np.asarray(out)[0], want)
+    else:
+        got = dec.decode_verified([data, data])
+        want = _want(data)
+        assert np.array_equal(got[0], want)
