@@ -781,15 +781,58 @@ def main_prog(batch: int, size: int, steps: int):
         buf, format="JPEG", quality=50, subsampling=2, progressive=True
     )
     datas = [buf.getvalue()] * batch
-    dec = OnchipProgressiveDecoder(
-        chunk_bytes=int(os.environ.get("BENCH_PROG_CHUNK", "64"))
-    )
     digest = make_digest()
 
     @jax.jit
     def dig(acc, out):
         return digest(acc, out)
 
+    if os.environ.get("BENCH_PROG_IMPL", "onchip") == "delta":
+        # round-2 path for comparison: host Huffman for EVERY scan,
+        # sparse deltas scatter-add into the device store.  No device
+        # program bakes content here, so honest timing uses distinct
+        # images per step (the scatter shapes are pow2-bucketed).
+        from zpix_tpu.parallel.progressive import DeviceProgressiveDecoder
+
+        def mk(seed):
+            rng2 = np.random.RandomState(seed)
+            noise2 = rng2.randint(0, 24, (size, size)).astype(np.uint8)
+            rgb2 = np.stack(
+                [base ^ noise2, base.T, (base // 2 + 64)], -1
+            )
+            b2 = BytesIO()
+            Image.fromarray(rgb2).save(
+                b2, format="JPEG", quality=50, subsampling=2,
+                progressive=True,
+            )
+            return b2.getvalue()
+
+        pools2 = [
+            [mk(s * batch + j) for j in range(batch)]
+            for s in range(steps * trials)
+        ]
+        ddec = DeviceProgressiveDecoder()
+        out = ddec.decode(pools2[0])
+        _ = int(dig(jnp.uint32(0), out))  # warm
+        best = float("inf")
+        for t in range(trials):
+            t0 = time.perf_counter()
+            acc = jnp.uint32(t + 1)
+            for i in range(steps):
+                acc = dig(acc, ddec.decode(pools2[t * steps + i]))
+            _ = int(acc)
+            best = min(best, time.perf_counter() - t0)
+        print(
+            f"# progressive sparse-delta path (host Huffman all scans) | "
+            f"batch={batch} size={size} steps={steps} "
+            f"backend={jax.devices()[0].platform}",
+            file=sys.stderr,
+        )
+        return steps * mpix / best
+
+    dec = OnchipProgressiveDecoder(
+        chunk_bytes=int(os.environ.get("BENCH_PROG_CHUNK", "64"))
+    )
     dec.salt = 999999
     out, ok = dec.decode(datas)
     acc = dig(jnp.uint32(0), out)
