@@ -103,8 +103,14 @@ def _roofline_onchip(dec, plan0, pools, digest, link_bytes, link_ms):
     from zpix_tpu.parallel import device_entropy as de
     from zpix_tpu.utils import roofline as rl
 
-    n = int(os.environ.get("BENCH_ROOFLINE_STEPS", "4"))
-    plans = [de.prep_batch(p) for p in pools[:n]]
+    n = max(2, int(os.environ.get("BENCH_ROOFLINE_STEPS", "4")))
+    plan_a = de.prep_batch(pools[0])
+    hint = int(plan_a.stream.shape[0])
+    plans = [plan_a] + [
+        p
+        for p in (de.prep_batch(pp, cap_hint=hint) for pp in pools[1:n])
+        if p.packed.shape == plan_a.packed.shape  # no mid-loop retrace
+    ]
     bufs = [dec._put(p) for p in plans]
     jax.block_until_ready(bufs)
     kw = dict(
@@ -114,14 +120,17 @@ def _roofline_onchip(dec, plan0, pools, digest, link_bytes, link_ms):
     )
 
     def timed(fn, out_of=lambda r: r[0]):
+        # warm on bufs[0], time bufs[1:] ONLY: re-executing the warmup
+        # (program, inputs) pair would be served from the terminal's
+        # replay cache in ~0.1 ms and read the stage time low
         r = fn(*bufs[0])
         _ = int(digest(jnp.uint32(0), out_of(r).astype(jnp.int32)))
         t0 = time.perf_counter()
         acc = jnp.uint32(1)
-        for b in bufs:
+        for b in bufs[1:]:
             acc = digest(acc, out_of(fn(*b)).astype(jnp.int32))
         _ = int(acc)
-        return (time.perf_counter() - t0) / len(bufs) * 1e3
+        return (time.perf_counter() - t0) / max(len(bufs) - 1, 1) * 1e3
 
     ms1 = timed(de.build_decode_fn(plan0, _stage=1, **kw))
     ms17 = timed(de.build_decode_fn(plan0, _stage=17, **kw))
@@ -271,6 +280,7 @@ def main_onchip(batch: int, size: int, steps: int):
                 if trial == 0:
                     print("# staged: one-put path", file=sys.stderr)
                 stacked = np.stack([p.packed for p in plans])  # [S, cap]
+                warmed_here = False
                 if not warmed_row:
                     # compile the row variant before the timed transfer
                     a0, last_ok, _o = bench_step_row(
@@ -279,16 +289,22 @@ def main_onchip(batch: int, size: int, steps: int):
                     )
                     _ = int(a0)
                     warmed_row = True
+                    warmed_here = True
                 t_up = time.perf_counter()
                 allb = _jax.device_put(stacked)
                 allb.block_until_ready()
                 t_tr = time.perf_counter() - t_up
                 print(
                     f"# trial {trial}: one-put upload {t_tr*1e3:.0f} ms "
-                    f"({stacked.nbytes/t_tr/1e6:.0f} MB/s)",
+                    f"({stacked.nbytes/t_tr/1e6:.0f} MB/s)"
+                    + (" [warmup content: terminal may dedupe; excluded"
+                       " from up_best]" if warmed_here else ""),
                     file=sys.stderr,
                 )
-                up_best = min(up_best, t_tr)
+                if not warmed_here or trials == 1:
+                    # the warmup already uploaded these exact bytes; a
+                    # deduped re-upload measures latency, not the wire
+                    up_best = min(up_best, t_tr)
                 t0 = time.perf_counter()
                 acc = jnp.uint32(trial + 1)
                 for i in range(steps):
@@ -480,16 +496,20 @@ def main_png(batch: int, size: int, steps: int):
             ]
             host_best = min(host_best, time.perf_counter() - t_h)
             stacked = np.stack(rows_steps)  # [S, B, H, ...]
+            warmed_here = False
             if not warmed:
                 a0, _o = step_fn(
                     jnp.uint32(0), jax.device_put(stacked), jnp.int32(0)
                 )
                 _ = int(a0)
                 warmed = True
+                warmed_here = True
             t_up = time.perf_counter()
             allb = jax.device_put(stacked)
             allb.block_until_ready()
-            up_best = min(up_best, time.perf_counter() - t_up)
+            if not warmed_here or trials == 1:
+                # warmup content may be deduped by the terminal
+                up_best = min(up_best, time.perf_counter() - t_up)
             t0 = time.perf_counter()
             acc = jnp.uint32(t + 1)
             for i in range(steps):
@@ -571,13 +591,18 @@ def main_sync(batch: int, size: int, steps: int):
             prep_batch_sync(p, cb, cap_hint=hint)
             for p in pools[1 : trials * steps]
         ]
-        shapes = {
-            (int(p.stream.shape[0]), p.n_chunks, p.cache_key) for p in plans
-        }
-        if len(shapes) != 1:
+        # keep ONLY plan0's layout: the fused fn below is compiled for
+        # it, and mixing layouts would retrace mid-loop (or decode with
+        # a chunk count that under-covers larger streams)
+        lay0 = (int(plan0.stream.shape[0]), plan0.n_chunks, plan0.cache_key)
+        dropped = sum(
+            1 for p in plans
+            if (int(p.stream.shape[0]), p.n_chunks, p.cache_key) != lay0
+        )
+        if dropped:
             print(
-                f"# sync staged: {len(shapes)} plan layouts; falling back "
-                f"to the largest-bucket subset", file=sys.stderr,
+                f"# sync staged: dropped {dropped} plans with a different "
+                f"buffer layout", file=sys.stderr,
             )
         # upload EVERYTHING before the first decode (wire-rate H2D)
         bufs = [
@@ -587,8 +612,7 @@ def main_sync(batch: int, size: int, steps: int):
                 jax.device_put(p.img_bit_end),
             )
             for p in plans
-            if (int(p.stream.shape[0]), p.n_chunks, p.cache_key)
-            == next(iter(shapes))
+            if (int(p.stream.shape[0]), p.n_chunks, p.cache_key) == lay0
         ]
         jax.block_until_ready(bufs)
         n_use = min(len(bufs), trials * steps)
@@ -613,6 +637,7 @@ def main_sync(batch: int, size: int, steps: int):
                 acc = dig(acc, out)
             _ = int(acc)
             best = min(best, (time.perf_counter() - t0) / len(todo) * steps)
+        assert bool(ok), "sync staged decode failed verification"
         print(
             f"# sync staged | batch={batch} size={size} steps={steps} "
             f"chunk={cb} backend={jax.devices()[0].platform} "
@@ -724,6 +749,7 @@ def main_qoi(batch: int, size: int, steps: int):
                 acc = dig(acc, out)
             _ = int(acc)
             best = min(best, (time.perf_counter() - t0) / len(todo) * steps)
+        assert bool(ok), "qoi staged decode failed verification"
         print(
             f"# qoi on-chip staged | batch={batch} size={size} "
             f"steps={steps} chunk={cb} "

@@ -78,10 +78,12 @@ def main():
         compile_s = time.perf_counter() - tC
         t1 = time.perf_counter()
         acc = jnp.uint32(1)
-        for b in bufs:
+        # time bufs[1:] only: re-running the warmup (program, inputs)
+        # pair replays from the terminal cache in ~0.1 ms
+        for b in bufs[1:]:
             acc = digest(acc, out_of(fn(*b)).astype(jnp.int32))
         _ = int(acc)
-        dt = (time.perf_counter() - t1) / len(bufs)
+        dt = (time.perf_counter() - t1) / max(len(bufs) - 1, 1)
         print(
             f"{label}: {dt*1e3:7.1f} ms/batch ({mpix/dt:6.0f} MPix/s) "
             f"[compile+first {compile_s:.0f}s]",

@@ -170,7 +170,7 @@ def _decode_bucket(kind: str, key, datas: list[bytes], mesh, min_batch: int):
         if kind == "qoi":
             from .qoi_batch import BatchQoiDecoder
 
-            return list(BatchQoiDecoder().decode_verified(datas))
+            return list(BatchQoiDecoder(mesh=mesh).decode_verified(datas))
         if kind == "bmp":
             from .bmp_batch import BatchBmpDecoder
 

@@ -1027,14 +1027,22 @@ class OnchipProgressiveDecoder:
             vidx = self._valid_idx(p0, c0)
             nblk = len(vidx)
         nbytes = (nblk + 7) // 8
-        rows = np.zeros((B, nbytes), np.uint8)
+        pad = 8 if getattr(self, "salt", None) is not None else 0
+        rows = np.zeros((B, nbytes + pad), np.uint8)
+        if pad:
+            # replay-proofing: salt bytes past the consumed bits (the
+            # unpack below slices [:nblk]) — same rule as _stack_streams
+            rng = np.random.RandomState((self.salt ^ s) & 0x7FFFFFFF)
+            rows[:, nbytes:] = rng.randint(
+                0, 256, (B, pad), dtype=np.uint8
+            )
         okh = True
         for b, pl in enumerate(plans):
             st = pl.scans[s].stream
             if len(st) < nbytes:
                 okh = False
                 st = np.pad(st, (0, nbytes - len(st)))
-            rows[b] = st[:nbytes]
+            rows[b, :nbytes] = st[:nbytes]
         # one raw bit per block, MSB-first (decoder.py:199-205 bit reader)
         bits = jnp.unpackbits(_jax.device_put(rows), axis=1)[:, :nblk]
         delta = jnp.int32(1 << al)
@@ -1086,7 +1094,12 @@ class OnchipProgressiveDecoder:
                 tuple(
                     (s.comps, s.td, s.ta, s.ss, s.se, s.ah, s.al,
                      tuple(sorted(
-                         (k, tuple(t.vals[: t.num_codes]))
+                         # full canonical identity: symbols alone would
+                         # collide for tables with equal symbol order
+                         # but different code lengths
+                         (k, t.num_codes, tuple(t.vals[: t.num_codes]),
+                          tuple(t.min_codes), tuple(t.max_codes),
+                          tuple(t.vals_indices))
                          for k, t in s.huffs.items()
                      )))
                     for s in pl.scans
