@@ -144,3 +144,23 @@ def test_device_qoi_sharded_parity():
     out = np.asarray(out)
     for i, d in enumerate(datas):
         assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"
+
+
+def test_encode_device_edge_sizes():
+    """1-pixel images, exact 62-run caps, and 63-run remainders hit the
+    encoder's flush edge cases (encoder.zig:88-95)."""
+    from zpix_tpu.parallel.qoi_batch import encode_device
+
+    cases = [
+        np.full((1, 1, 4), 9, np.uint8),          # single pixel
+        np.zeros((1, 1, 4), np.uint8),            # equals the implicit prev? no: a=0 != 255
+        np.full((1, 62, 4), 7, np.uint8),         # run hits the 62 cap exactly
+        np.full((1, 63, 4), 7, np.uint8),         # cap + 1 remainder
+        np.full((1, 124, 4), 7, np.uint8),        # two full caps
+    ]
+    for i, img in enumerate(cases):
+        h, w = img.shape[:2]
+        d = Desc(w, h, 4, 0)
+        got = encode_device(img, d)
+        assert got == encode(img, d), f"case {i}"
+        assert np.array_equal(host_decode(got).pix, img), f"case {i}"
