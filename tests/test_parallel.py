@@ -645,3 +645,47 @@ def test_decode_mixed_corpus():
         )
         assert out.shape == want.shape, p
         assert np.array_equal(out, want), p
+
+
+def test_decode_mixed_min_batch_host_fallback(png_dir):
+    """min_batch > bucket size must route through the host decoder and
+    still return identical pixels (no device compile for one-off shapes)."""
+    import zpix_tpu
+    from zpix_tpu.parallel.bucketing import decode_mixed
+
+    with open(os.path.join(png_dir, "basn2c08.png"), "rb") as f:
+        a = f.read()
+    with open(os.path.join(png_dir, "basn0g04.png"), "rb") as f:
+        b = f.read()
+    outs = decode_mixed([a, b], min_batch=3)  # both buckets have < 3
+    for data, out in zip((a, b), outs):
+        img = zpix_tpu.from_buffer(data)
+        want = np.asarray(img.rgba_pixels(), np.uint8).reshape(
+            img.height, img.width, 4
+        )
+        assert np.array_equal(out, want)
+
+
+def test_roofline_cost_model_sanity():
+    """The analytic cost model must scale with batch and produce the
+    report lines the bench prints (SURVEY sec.5 accounting promise)."""
+    from zpix_tpu.parallel.device_entropy import prep_batch
+    from zpix_tpu.utils import roofline as rl
+
+    with open(
+        os.path.join("/root/reference/src/testdata",
+                     "video-001.restart2.jpeg"), "rb"
+    ) as f:
+        data = f.read()
+    p1 = prep_batch([data])
+    p2 = prep_batch([data, data])
+    c1 = rl.jpeg_onchip_costs(p1, k_syms=16, k1_syms=24, w_words=6,
+                              w1_words=8, steps1=10, steps2=2)
+    c2 = rl.jpeg_onchip_costs(p2, k_syms=16, k1_syms=24, w_words=6,
+                              w1_words=8, steps1=10, steps2=2)
+    for a, b in zip(c1, c2):
+        assert b.bytes_moved > a.bytes_moved
+        assert b.vpu_ops > a.vpu_ops
+    rep = rl.report(c1, [1.0, 2.0, 3.0], total_ms=6.0,
+                    link_bytes=1e6, link_ms=10.0)
+    assert "% HBM" in rep and "% VPU" in rep and "link (H2D)" in rep
