@@ -258,7 +258,7 @@ def main_onchip(batch: int, size: int, steps: int):
     okv = fetch_ok(ok)
     assert okv is not False, "on-chip decode failed integrity check"
 
-    best = float("inf")
+    trial_times: list[float] = []  # per-trial wall time of the timed loop
     up_best = float("inf")
     last_ok = ok
     if staged:
@@ -312,7 +312,7 @@ def main_onchip(batch: int, size: int, steps: int):
                         acc, allb, jnp.int32(i)
                     )
                 _ = int(acc)
-                best = min(best, time.perf_counter() - t0)
+                trial_times.append(time.perf_counter() - t0)
                 del allb
                 continue
             print(
@@ -328,7 +328,7 @@ def main_onchip(batch: int, size: int, steps: int):
             for bufs in bufs_list:
                 acc, last_ok, _out = bench_step(acc, *bufs)
             _ = int(acc)  # one D2H fetch forces completion of every step
-            best = min(best, time.perf_counter() - t0)
+            trial_times.append(time.perf_counter() - t0)
             del bufs_list
     else:
         prepper = ThreadPoolExecutor(max_workers=1)
@@ -344,8 +344,12 @@ def main_onchip(batch: int, size: int, steps: int):
                     )
                 acc, last_ok, _out = bench_step(acc, *dec._put(plan))
             _ = int(acc)
-            best = min(best, time.perf_counter() - t0)
+            trial_times.append(time.perf_counter() - t0)
     assert fetch_ok(last_ok) is not False
+    best = min(trial_times)
+    # Median-of-N is the headline (VERDICT r3: a best-of gate with +-20%
+    # process noise is run-selection); best is printed alongside.
+    med = sorted(trial_times)[len(trial_times) // 2]
     if staged and os.environ.get("BENCH_ROOFLINE", "1") == "1":
         try:
             _roofline_onchip(
@@ -354,7 +358,14 @@ def main_onchip(batch: int, size: int, steps: int):
             )
         except Exception as e:  # accounting must not break the bench
             print(f"# roofline skipped: {e!r}", file=sys.stderr)
-    mpix_s = steps * batch * mpix_per_image / best
+    total_mpix = steps * batch * mpix_per_image
+    mpix_s = total_mpix / med
+    print(
+        f"# trials ({len(trial_times)}): best {total_mpix / best:.0f} "
+        f"MPix/s, median {mpix_s:.0f} MPix/s "
+        f"({', '.join(f'{t * 1e3 / steps:.1f}' for t in trial_times)} ms/step)",
+        file=sys.stderr,
+    )
     stream_mb = plan0.packed.nbytes * steps / 1e6
     extra = (
         f" | staged upload {stream_mb / max(up_best, 1e-9):.0f} MB/s, "
@@ -959,7 +970,16 @@ def main():
 
     if os.environ.get("BENCH_MODE", "onchip") == "png":
         mpix_s = main_png(batch, size, steps)
-        png_name = "batched PNG RGB8 decode"
+        front = os.environ.get("ZPIX_PNG_FRONT", "host")
+        if front == "host":
+            # host front leaves only RGB->RGBA expansion on device —
+            # label it as the stage it times, not as "PNG decode"
+            # (round-3 VERDICT: the 3142 number is not a decode number)
+            png_name = "batched PNG RGB8 expansion stage (host inflate+defilter untimed)"
+        elif front == "defilter":
+            png_name = "batched PNG RGB8 decode (device defilter+expand, host inflate)"
+        else:
+            png_name = "batched PNG RGB8 decode (two-pass device inflate)"
         if os.environ.get("BENCH_STAGED", "1") == "1":
             png_name += " (HBM-staged rows)"
         print(

@@ -70,7 +70,7 @@ def test_rejects_mixed_batch(restart_jpeg, testdata):
         prep_batch([restart_jpeg, other])
 
 
-def _synth_jpeg(w=200, h=120, mode="420", dri_blocks=5):
+def _synth_jpeg(w=200, h=120, mode="420", dri_blocks=5, phase=0.0):
     """Structured synthetic JPEG with restart markers via Pillow."""
     import io
 
@@ -78,7 +78,9 @@ def _synth_jpeg(w=200, h=120, mode="420", dri_blocks=5):
 
     x = np.linspace(0, 17, w)
     y = np.linspace(0, 13, h)
-    base = (128 + 100 * np.sin(x[None, :] * np.cos(y[:, None]))).astype(np.uint8)
+    base = (128 + 100 * np.sin(x[None, :] * np.cos(y[:, None]) + phase)).astype(
+        np.uint8
+    )
     sub = {"gray": 0, "444": 0, "422": 1, "420": 2}[mode]
     if mode == "gray":
         img = Image.fromarray(base, "L")
@@ -267,6 +269,20 @@ def test_onchip_rgb_parity():
     assert bool(ok)
     host = jpeg_codec.decode(data)
     assert np.array_equal(np.asarray(out)[0], host.pix[..., :3])
+
+
+def test_pass1_bins_parity():
+    """bins>1 runs pass 1 over length-sorted lane groups via a data-level
+    permutation; the un-permute must round-trip exactly (pixel-identical
+    to the single-loop form), including a partial final restart segment
+    and distinct per-image segment lengths."""
+    datas = [_synth_jpeg(phase=p) for p in (0.0, 1.3, 2.6)]
+    ref, ok0 = DeviceJpegDecoder().decode(datas)
+    assert bool(ok0)
+    for bins in (2, 8):  # 8 does not divide the 63 lanes: uneven slices
+        out, ok1 = DeviceJpegDecoder(bins=bins).decode(datas)
+        assert bool(ok1), f"bins={bins}"
+        assert np.array_equal(np.asarray(ref), np.asarray(out)), f"bins={bins}"
 
 
 def test_i16_stores_parity(restart_jpeg):

@@ -632,11 +632,17 @@ def test_decode_mixed_corpus():
     kinds = {k[0] for k in buckets}
     assert kinds == {"png", "jpeg", "bmp", "qoi"}
 
-    outs = load_batch(paths)
-    outs.append(
-        __import__("zpix_tpu.parallel.bucketing", fromlist=["decode_mixed"])
-        .decode_mixed([qoi_data])[0]
-    )
+    from zpix_tpu.parallel.bucketing import decode_mixed
+
+    outs, stats = decode_mixed(bufs[:-1], return_stats=True)
+    assert load_batch(paths)[0].shape == outs[0].shape  # path API parity
+    # every device-eligible bucket must actually take the device path:
+    # only the progressive JPEG routes to the host by design
+    assert stats.get("device", 0) == len(paths) - 1, stats
+    assert stats == {"device": len(paths) - 1, "host-routed": 1}, stats
+    qout, qstats = decode_mixed([qoi_data], return_stats=True)
+    assert qstats.get("device", 0) == 1, qstats
+    outs.append(qout[0])
     for p, out in zip(paths + ["<qoi>"], outs):
         data = bufs[(paths + ["<qoi>"]).index(p)]
         ref = zpix_tpu.from_buffer(data)
@@ -657,13 +663,39 @@ def test_decode_mixed_min_batch_host_fallback(png_dir):
         a = f.read()
     with open(os.path.join(png_dir, "basn0g04.png"), "rb") as f:
         b = f.read()
-    outs = decode_mixed([a, b], min_batch=3)  # both buckets have < 3
+    outs, stats = decode_mixed([a, b], min_batch=3, return_stats=True)
+    assert stats == {"host-small": 2}, stats  # no silent device attempts
     for data, out in zip((a, b), outs):
         img = zpix_tpu.from_buffer(data)
         want = np.asarray(img.rgba_pixels(), np.uint8).reshape(
             img.height, img.width, 4
         )
         assert np.array_equal(out, want)
+
+
+def test_decode_mixed_broken_decoder_not_swallowed(monkeypatch, png_dir):
+    """A batched decoder that raises must be VISIBLE (host-error route +
+    logged) — regression guard for the round-3 silent `except: pass`."""
+    import zpix_tpu
+    from zpix_tpu.parallel import bucketing, png_batch
+
+    class Boom:
+        def __init__(self, **kw):
+            pass
+
+        def decode(self, datas):
+            raise RuntimeError("deliberately broken batched decoder")
+
+    monkeypatch.setattr(png_batch, "BatchPngDecoder", Boom)
+    with open(os.path.join(png_dir, "basn2c08.png"), "rb") as f:
+        a = f.read()
+    outs, stats = bucketing.decode_mixed([a], return_stats=True)
+    assert stats == {"host-error": 1}, stats
+    img = zpix_tpu.from_buffer(a)
+    want = np.asarray(img.rgba_pixels(), np.uint8).reshape(
+        img.height, img.width, 4
+    )
+    assert np.array_equal(outs[0], want)
 
 
 def test_roofline_cost_model_sanity():

@@ -88,6 +88,40 @@ def test_device_qoi_mixed_stream_lengths():
         assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"
 
 
+def test_device_qoi_ops_cap_overflow_exact():
+    """An ops_cap below the true op count must flip ok to False (never
+    emit wrong pixels), and decode_verified must stay parity-exact via
+    the host fallback."""
+    data = _enc(_images()[1])  # flat image: RUN ops, few per chunk
+    dense = _enc(_images()[3])  # noise: ~1 op per 4-5 bytes
+    ref = host_decode(dense).pix
+    dec = BatchQoiDecoder(chunk_bytes=32, ops_cap=2)  # way under CB ops
+    _, ok = dec.decode([dense])
+    assert not bool(ok)
+    assert np.array_equal(dec.decode_verified([dense])[0], ref)
+    # a cap that genuinely covers the ops must keep the device path exact
+    out, ok2 = BatchQoiDecoder(chunk_bytes=32, ops_cap=32).decode([data])
+    assert bool(ok2)
+    assert np.array_equal(np.asarray(out)[0], host_decode(data).pix)
+
+
+def test_device_qoi_carry_guard():
+    """The pre-dispatch guard must refuse carries below the measured
+    ~400 MB worker-fault threshold, and decode_verified must fall back
+    to the host decoder instead of dispatching."""
+    from zpix_tpu.parallel.qoi_batch import carry_bytes
+
+    datas = [_enc(_images()[3])]
+    plan = prep_qoi_batch(datas, 32)
+    need = carry_bytes(plan)
+    dec = BatchQoiDecoder(chunk_bytes=32, carry_mb=need / 2e6)
+    assert dec.carry_mb * 1e6 < 400e6  # guard sits below the fault point
+    with pytest.raises(UnsupportedError):
+        dec.decode(datas)
+    out = dec.decode_verified(datas)
+    assert np.array_equal(out[0], host_decode(datas[0]).pix)
+
+
 def test_encode_device_byte_identical():
     """On-device encoder must emit byte-identical streams to the serial
     emission (encoder.zig:29-132 semantics) over every op class, both

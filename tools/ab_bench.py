@@ -103,6 +103,15 @@ VARIANTS = {
                          _batch=24),
     "i16b32planar": dict(packed=True, _prefetch=True, planar=True, i16=True,
                          _batch=32),
+    # round 4: pass-1 straggler bins (length-sorted lane groups) x batch
+    "bins2planar": dict(packed=True, _prefetch=True, planar=True, bins=2),
+    "bins4planar": dict(packed=True, _prefetch=True, planar=True, bins=4),
+    "bins8planar": dict(packed=True, _prefetch=True, planar=True, bins=8),
+    "b64planar": dict(packed=True, _prefetch=True, planar=True, _batch=64),
+    "b32bins4planar": dict(packed=True, _prefetch=True, planar=True, bins=4,
+                           _batch=32),
+    "b64bins4planar": dict(packed=True, _prefetch=True, planar=True, bins=4,
+                           _batch=64),
 }
 
 

@@ -92,6 +92,54 @@ def main():
             f"efficiency {eff * 100:5.1f}%"
         )
 
+    # ---- dp x sp leg (SURVEY §2.7 SP analog): block rows sharded over a
+    # ('batch' x 'stripe') mesh, exactly the dryrun_multichip shardings —
+    # this measures the stripe axis the round-3 artifact pinned to 1.
+    print("# dp x sp leg: coefficient block rows stripe-sharded")
+
+    def pad_rows(a, mult):
+        r = (-a.shape[1]) % mult
+        if r == 0:
+            return a
+        return np.concatenate(
+            [a, np.zeros((a.shape[0], r) + a.shape[2:], a.dtype)], axis=1
+        )
+
+    for n in sizes:
+        if n % 2:
+            continue  # stripe=2 needs an even device count
+        stripe = 2
+        mesh = make_mesh(devices[:n], batch=n // stripe, stripe=stripe)
+        B = (n // stripe) * per_dev
+        stack = lambda a: np.stack([a] * B)  # noqa: E731
+        cy = pad_rows(stack(fe.coeffs[0]), 2 * stripe)
+        ccb = pad_rows(stack(fe.coeffs[1]), stripe)
+        ccr = pad_rows(stack(fe.coeffs[2]), stripe)
+        qs = [stack(fe.quants[c]) for c in range(3)]
+        coeff_sh = NamedSharding(mesh, P("batch", "stripe"))
+        q_sh = NamedSharding(mesh, P("batch"))
+        out_sh = NamedSharding(mesh, P("batch"))
+        fn = jax.jit(
+            partial(_ycbcr_graph, height=fe.height, width=fe.width,
+                    ratio=fe.ratio),
+            out_shardings=out_sh,
+        )
+        dargs = [jax.device_put(a, coeff_sh) for a in (cy, ccb, ccr)] + [
+            jax.device_put(q, q_sh) for q in qs
+        ]
+        fn(*dargs).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*dargs)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        rate = steps * B * mpix / dt
+        eff = rate / (base * n) if base else 0.0
+        print(
+            f"n={n} (dp={n // stripe} x sp={stripe}): {rate:8.1f} MPix/s "
+            f"total | {rate / n:8.1f} /dev | efficiency {eff * 100:5.1f}%"
+        )
+
 
 if __name__ == "__main__":
     main()

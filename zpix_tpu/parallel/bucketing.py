@@ -153,48 +153,81 @@ def _to_rgba(out) -> np.ndarray:
 
 
 def _decode_bucket(kind: str, key, datas: list[bytes], mesh, min_batch: int):
+    """-> (rgba list, route) where route records which path decoded the
+    bucket: 'device', 'host-small' (under min_batch), 'host-routed'
+    (shapes a batched decoder doesn't cover), or 'host-error' (batched
+    path raised — logged, never swallowed silently)."""
     if len(datas) < min_batch or "host" in key:
-        return [_host_rgba(d) for d in datas]
+        return [_host_rgba(d) for d in datas], (
+            "host-small" if "host" not in key else "host-routed"
+        )
     try:
         if kind == "png":
             from .png_batch import BatchPngDecoder
 
-            return list(_to_rgba(BatchPngDecoder(mesh=mesh).decode(datas)))
+            return list(_to_rgba(BatchPngDecoder(mesh=mesh).decode(datas))), \
+                "device"
         if kind == "jpeg":
             ncomp, progressive = key[3], key[5]
             if progressive or ncomp == 4:
-                return [_host_rgba(d) for d in datas]
+                return [_host_rgba(d) for d in datas], "host-routed"
             from .batch import BatchJpegDecoder
 
-            return list(_to_rgba(BatchJpegDecoder(mesh=mesh).decode(datas)))
+            return list(_to_rgba(BatchJpegDecoder(mesh=mesh).decode(datas))), \
+                "device"
         if kind == "qoi":
             from .qoi_batch import BatchQoiDecoder
 
-            return list(BatchQoiDecoder(mesh=mesh).decode_verified(datas))
+            rgba, ok = BatchQoiDecoder(mesh=mesh).decode(datas)
+            if bool(ok):
+                return list(np.asarray(rgba)), "device"
+            # exact-by-design fallback (scan error / slot overflow)
+            return [_host_rgba(d) for d in datas], "host-verify"
         if kind == "bmp":
             from .bmp_batch import BatchBmpDecoder
 
-            return list(_to_rgba(BatchBmpDecoder(mesh=mesh).decode(datas)))
+            return list(_to_rgba(BatchBmpDecoder(mesh=mesh).decode(datas))), \
+                "device"
     except Exception:
-        pass  # batched path declined this bucket: exact host fallback
-    return [_host_rgba(d) for d in datas]
+        import logging
+
+        logging.getLogger("zpix_tpu").exception(
+            "decode_mixed: batched %s decoder failed on a %d-image bucket "
+            "(key=%r); falling back to the host decoder", kind, len(datas),
+            key,
+        )
+        return [_host_rgba(d) for d in datas], "host-error"
+    return [_host_rgba(d) for d in datas], "host-routed"
 
 
-def decode_mixed(buffers, *, mesh=None, min_batch: int = 1):
+def decode_mixed(buffers, *, mesh=None, min_batch: int = 1,
+                 return_stats: bool = False):
     """Decode a mixed list of encoded images (any supported format,
     any geometry) -> list of RGBA8 [H, W, 4] arrays in input order.
 
     mesh: optional jax Mesh; compatible buckets shard on its 'batch'
     axis.  min_batch: buckets smaller than this skip the device path
-    (avoids per-geometry compiles for one-off shapes)."""
+    (avoids per-geometry compiles for one-off shapes).
+
+    return_stats=True additionally returns {route: image count} so
+    callers (and the regression tests) can assert eligible buckets
+    actually took the device path; the same counts land in the
+    utils.metrics registry as decode_mixed.<route>."""
+    from ..utils import metrics
+
     buffers = list(buffers)
     results: list = [None] * len(buffers)
+    stats: dict = {}
     for key, idxs in plan_buckets(buffers).items():
-        outs = _decode_bucket(
+        outs, route = _decode_bucket(
             key[0], key, [buffers[i] for i in idxs], mesh, min_batch
         )
+        stats[route] = stats.get(route, 0) + len(idxs)
+        metrics.count(f"decode_mixed.{route}", len(idxs))
         for i, out in zip(idxs, outs):
             results[i] = np.asarray(out, np.uint8)
+    if return_stats:
+        return results, stats
     return results
 
 

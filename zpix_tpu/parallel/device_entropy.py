@@ -61,6 +61,12 @@ _DEF_SPLIT_WIN = os.environ.get("ZPIX_ONCHIP_SPLIT_WIN", "0") == "1"
 _DEF_I16 = os.environ.get("ZPIX_ONCHIP_I16", "1") == "1"
 # pass-1 int16 relative block-ends (auto-disabled for long segments)
 _DEF_P1I16 = os.environ.get("ZPIX_ONCHIP_P1I16", "0") == "1"
+# pass-1 straggler mitigation: run the index pass as N sequential while
+# loops over length-sorted lane groups, so each group's trip count tracks
+# its OWN longest restart segment instead of the global one.  The sort
+# permutation is data (rides in the packed buffer), so one compiled
+# program still covers arbitrary content.  1 = single loop (off).
+_DEF_BINS = int(os.environ.get("ZPIX_ONCHIP_BINS", "1"))
 # uint8 stage-boundary optimization barriers in the SoA back-end
 _DEF_SOA_BARRIERS = os.environ.get("ZPIX_SOA_BARRIERS", "1") == "1"
 
@@ -433,8 +439,22 @@ def prep_batch(datas: list[bytes], cap_hint: int | None = None) -> ScanPlan:
     # device_put, so the offsets ride in the same buffer as the stream
     # (seg_n_mcu is a pure function of the geometry and is baked into
     # the compiled program instead of travelling at all).
+    #
+    # The tail also carries a length-sort permutation of the segment
+    # lanes (perm: sorted->canonical, rank: canonical->sorted) for the
+    # bins>1 pass-1 straggler mitigation (see build_decode_fn).  It is
+    # DATA, so the compiled program is content-independent; bins=1
+    # programs simply never read those bytes.
+    seg_len_bytes = np.concatenate([
+        np.diff(np.concatenate([starts, [len(stream_)]]))
+        for starts, stream_ in zip(seg_pos_all, streams)
+    ])
+    sort_perm = np.argsort(seg_len_bytes, kind="stable").astype(np.int32)
+    sort_rank = np.argsort(sort_perm, kind="stable").astype(np.int32)
     packed = np.concatenate(
-        [flat, seg_bit_pos.astype("<i4").view(np.uint8)]
+        [flat, seg_bit_pos.astype("<i4").view(np.uint8),
+         sort_perm.astype("<i4").view(np.uint8),
+         sort_rank.astype("<i4").view(np.uint8)]
     )
     return ScanPlan(
         width=w, height=h, ncomp=nc,
@@ -838,7 +858,7 @@ def build_decode_fn(
     coeff_dtype=None, _stage: int = 2, _raw: bool = False,
     _soa_out: bool = False, split_win: bool | None = None,
     mesh=None, i16: bool | None = None, p1_i16: bool | None = None,
-    _stats: bool = False,
+    bins: int | None = None, _stats: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -897,6 +917,13 @@ def build_decode_fn(
     if p1_i16 is None:
         p1_i16 = _DEF_P1I16
     p1_i16 = bool(p1_i16) and (plan.max_seg_bits + 512 < 32768)
+    bins = _DEF_BINS if bins is None else int(bins)
+    if bins > 1 and (not packed or mesh is not None):
+        raise ValueError(
+            "jpeg: bins > 1 needs the packed single-device form (the "
+            "sort permutation rides in the packed buffer)"
+        )
+    bins = max(1, min(bins, plan.batch * plan.n_segs))
     if max_steps is None:
         # every pass-1 step consumes >= min(k1 symbols of >= 2 bits,
         # the window capacity) or finishes the lane, so the longest
@@ -904,7 +931,7 @@ def build_decode_fn(
         per_step = max(2, min(2 * k1, off_lim1 - 38))
         max_steps = plan.max_seg_bits // per_step + 64
 
-    def decode(stream, seg_bit_pos, seg_n_mcu):
+    def decode(stream, seg_bit_pos, seg_n_mcu, sort_perm=None, sort_rank=None):
         L1 = seg_bit_pos.shape[0]
         L2 = L1 * nblk
         u32 = jnp.uint32
@@ -939,93 +966,125 @@ def build_decode_fn(
         e_dtype = jnp.int16 if p1_i16 else jnp.int32
         e_zero = jnp.int16(0) if p1_i16 else 0
 
-        def body1(st):
-            (bit_pos, offsT, slot, mcu_cnt, k, phase, done, err, steps) = st
-            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-            w = fetch1(byte)
-            off0 = (bit_pos & 7).astype(jnp.int32)
-            off = off0
-            base = (byte << 3).astype(jnp.int32)  # window start, absolute bits
-            emits = []  # per-symbol [L1] (block index, end) pairs
+        def run_pass1(pos0, nm):
+            """Index pass over one lane group: pos0/nm int32 [Lb]."""
+            Lb = pos0.shape[0]
 
-            for _ in range(k1):
-                active = (~done) & (off <= off_lim1)
-                look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
-                is_dc = phase == 0
-                tid = jnp.where(
-                    is_dc,
-                    _select_by_index(jnp, slot, tid_of_slot_dc),
-                    _select_by_index(jnp, slot, tid_of_slot_ac),
-                )
-                mt = [tid == t for t in range(cmp.ntab)]
-                ln_sel, sym, bad = decode_sym(look16, mt)
-                bad = active & bad
-                r = jnp.where(is_dc, 0, sym >> 4)
-                size = jnp.where(is_dc, sym, sym & 15)
-                consume = ln_sel + size  # extend bits are skipped, not read
+            def body1(st):
+                (bit_pos, offsT, slot, mcu_cnt, k, phase, done, err, steps) = st
+                byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+                w = fetch1(byte)
+                off0 = (bit_pos & 7).astype(jnp.int32)
+                off = off0
+                base = (byte << 3).astype(jnp.int32)  # window start, abs bits
+                emits = []  # per-symbol [Lb] (block index, end) pairs
 
-                new_k = jnp.where(is_dc, 1, k)
-                ac_coef = (~is_dc) & (size > 0)
-                new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
-                eob = (~is_dc) & (size == 0) & (r != 15)
-                zrl = (~is_dc) & (size == 0) & (r == 15)
-                new_k = jnp.where(zrl, k + 16, new_k)
-                blk_done = (eob | (new_k > 63)) & ~is_dc
+                for _ in range(k1):
+                    active = (~done) & (off <= off_lim1)
+                    look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                    is_dc = phase == 0
+                    tid = jnp.where(
+                        is_dc,
+                        _select_by_index(jnp, slot, tid_of_slot_dc),
+                        _select_by_index(jnp, slot, tid_of_slot_ac),
+                    )
+                    mt = [tid == t for t in range(cmp.ntab)]
+                    ln_sel, sym, bad = decode_sym(look16, mt)
+                    bad = active & bad
+                    r = jnp.where(is_dc, 0, sym >> 4)
+                    size = jnp.where(is_dc, sym, sym & 15)
+                    consume = ln_sel + size  # extend bits skipped, not read
 
-                app = active & ~bad
-                adv_blk = app & blk_done
-                # record block end; [L1]-wide scalars only here — the
-                # [L1, nblk] one-hot materializes ONCE per step below
-                # (a per-symbol one-hot costs a separate wide kernel)
-                blk_idx = jnp.clip(mcu_cnt * bpm + slot, 0, nblk - 1)
-                end_abs = base + off + consume
-                ev = jnp.where(adv_blk, end_abs - (seg_start32 if p1_i16 else 0), 0)
-                emits.append((blk_idx, ev.astype(e_dtype) if p1_i16 else ev))
-                slot = jnp.where(adv_blk, slot + 1, slot)
-                wrap = adv_blk & (slot >= bpm)
-                slot = jnp.where(wrap, 0, slot)
-                mcu_cnt = jnp.where(wrap, mcu_cnt + 1, mcu_cnt)
-                k = jnp.where(adv_blk, 0, jnp.where(app, new_k, k))
-                phase = jnp.where(adv_blk, 0, jnp.where(app & is_dc, 1, phase))
-                off = jnp.where(app, off + consume, off)
-                err = err | bad
-                done = done | (mcu_cnt >= seg_n_mcu) | bad
-            arb = jnp.arange(nblk)[:, None]
-            offsT = offsT + sum(
-                jnp.where(bi[None, :] == arb, ev[None, :], e_zero)
-                for bi, ev in emits
-            )  # one read-modify-write of offsT per step
-            bit_pos = bit_pos - off0 + off
-            return (bit_pos, offsT, slot, mcu_cnt, k, phase, done, err, steps + 1)
+                    new_k = jnp.where(is_dc, 1, k)
+                    ac_coef = (~is_dc) & (size > 0)
+                    new_k = jnp.where(ac_coef, jnp.clip(k + r, 0, 63) + 1, new_k)
+                    eob = (~is_dc) & (size == 0) & (r != 15)
+                    zrl = (~is_dc) & (size == 0) & (r == 15)
+                    new_k = jnp.where(zrl, k + 16, new_k)
+                    blk_done = (eob | (new_k > 63)) & ~is_dc
 
-        def cond1(st):
-            # sum-based termination test (bool all-reduce miscompiles on
-            # some backend shapes; an integer reduction is robust)
-            n_done = jnp.sum(st[6].astype(jnp.int32))
-            return (n_done < st[6].shape[0]) & (st[8] < max_steps)
+                    app = active & ~bad
+                    adv_blk = app & blk_done
+                    # record block end; [Lb]-wide scalars only here — the
+                    # [Lb, nblk] one-hot materializes ONCE per step below
+                    # (a per-symbol one-hot costs a separate wide kernel)
+                    blk_idx = jnp.clip(mcu_cnt * bpm + slot, 0, nblk - 1)
+                    end_abs = base + off + consume
+                    ev = jnp.where(adv_blk, end_abs - (pos0 if p1_i16 else 0), 0)
+                    emits.append((blk_idx, ev.astype(e_dtype) if p1_i16 else ev))
+                    slot = jnp.where(adv_blk, slot + 1, slot)
+                    wrap = adv_blk & (slot >= bpm)
+                    slot = jnp.where(wrap, 0, slot)
+                    mcu_cnt = jnp.where(wrap, mcu_cnt + 1, mcu_cnt)
+                    k = jnp.where(adv_blk, 0, jnp.where(app, new_k, k))
+                    phase = jnp.where(adv_blk, 0, jnp.where(app & is_dc, 1, phase))
+                    off = jnp.where(app, off + consume, off)
+                    err = err | bad
+                    done = done | (mcu_cnt >= nm) | bad
+                arb = jnp.arange(nblk)[:, None]
+                offsT = offsT + sum(
+                    jnp.where(bi[None, :] == arb, ev[None, :], e_zero)
+                    for bi, ev in emits
+                )  # one read-modify-write of offsT per step
+                bit_pos = bit_pos - off0 + off
+                return (bit_pos, offsT, slot, mcu_cnt, k, phase, done, err,
+                        steps + 1)
 
-        st1 = jax.lax.while_loop(
-            cond1,
-            body1,
-            (
-                seg_bit_pos.astype(jnp.int32),
-                jnp.zeros((nblk, L1), e_dtype),
-                jnp.zeros(L1, jnp.int32),
-                jnp.zeros(L1, jnp.int32),
-                jnp.zeros(L1, jnp.int32),
-                jnp.zeros(L1, jnp.int32),
-                jnp.zeros(L1, bool),
-                jnp.zeros(L1, bool),
-                jnp.int32(0),
-            ),
-        )
-        ends = st1[1].T.astype(jnp.int32)  # [L1, nblk]
-        if p1_i16:
-            # relative int16 -> absolute; padding blocks (never emitted)
-            # map back to the segment start, same as the int32 form's 0
-            # ... except int32 stored absolute; keep their starts exact:
-            ends = jnp.where(st1[1].T != 0, ends + seg_start32[:, None], 0)
-        ok1 = jnp.all(st1[6]) & ~jnp.any(st1[7])
+            def cond1(st):
+                # sum-based termination test (bool all-reduce miscompiles on
+                # some backend shapes; an integer reduction is robust)
+                n_done = jnp.sum(st[6].astype(jnp.int32))
+                return (n_done < st[6].shape[0]) & (st[8] < max_steps)
+
+            return jax.lax.while_loop(
+                cond1,
+                body1,
+                (
+                    pos0,
+                    jnp.zeros((nblk, Lb), e_dtype),
+                    jnp.zeros(Lb, jnp.int32),
+                    jnp.zeros(Lb, jnp.int32),
+                    jnp.zeros(Lb, jnp.int32),
+                    jnp.zeros(Lb, jnp.int32),
+                    jnp.zeros(Lb, bool),
+                    jnp.zeros(Lb, bool),
+                    jnp.int32(0),
+                ),
+            )
+
+        if bins > 1:
+            # Straggler mitigation: lanes arrive length-sorted via the
+            # data-level permutation (prep_batch); each contiguous group
+            # runs its own while loop, exiting at its OWN longest
+            # segment.  Outputs are un-permuted with one row gather.
+            srt_pos = seg_start32[sort_perm]
+            nm_srt = seg_n_mcu[sort_perm]
+            parts, dones, errs = [], [], []
+            p1_steps = jnp.int32(0)
+            for b_ in range(bins):
+                lo, hi = b_ * L1 // bins, (b_ + 1) * L1 // bins
+                st1 = run_pass1(srt_pos[lo:hi], nm_srt[lo:hi])
+                parts.append(st1[1])
+                dones.append(st1[6])
+                errs.append(st1[7])
+                p1_steps = p1_steps + st1[8]
+            endsT = jnp.concatenate(parts, axis=1)  # [nblk, L1] sorted
+            ends_s = endsT.T.astype(jnp.int32)
+            if p1_i16:
+                ends_s = jnp.where(endsT.T != 0, ends_s + srt_pos[:, None], 0)
+            ends = ends_s[sort_rank]  # [L1, nblk] canonical order
+            ok1 = (jnp.all(jnp.concatenate(dones))
+                   & ~jnp.any(jnp.concatenate(errs)))
+        else:
+            st1 = run_pass1(seg_start32, seg_n_mcu.astype(jnp.int32))
+            ends = st1[1].T.astype(jnp.int32)  # [L1, nblk]
+            if p1_i16:
+                # relative int16 -> absolute; padding blocks (never emitted)
+                # map back to the segment start, same as the int32 form's 0
+                # ... except int32 stored absolute; keep their starts exact:
+                ends = jnp.where(st1[1].T != 0, ends + seg_start32[:, None], 0)
+            ok1 = jnp.all(st1[6]) & ~jnp.any(st1[7])
+            p1_steps = st1[8]
         if _stage == 1:  # debug: index pass only
             return ends, ok1
 
@@ -1080,8 +1139,10 @@ def build_decode_fn(
             return to_legacy(curT).astype(jnp.int16), ok
 
         # while-loop trip counts for the roofline accounting
-        # (utils/roofline.py): the loops' HBM traffic = carry x trips
-        stats = (st1[8], st2[5 + di]) if _stats else None
+        # (utils/roofline.py): the loops' HBM traffic = carry x trips.
+        # With bins > 1 this is the SUM across bins (each bin's step
+        # touches only L1/bins lanes, so the model overestimates).
+        stats = (p1_steps, st2[5 + di]) if _stats else None
 
         if _soa_out:
             if i16:
@@ -1184,12 +1245,18 @@ def build_decode_fn(
         def decode_packed(buf):
             import jax.numpy as jnp
 
+            def le32(off):
+                pb = buf[off : off + 4 * L].reshape(L, 4).astype(jnp.int32)
+                return (pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16)
+                        | (pb[:, 3] << 24))
+
             stream = buf[:cap]
-            pb = buf[cap : cap + 4 * L].reshape(L, 4).astype(jnp.int32)
-            seg_bit_pos = (
-                pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) | (pb[:, 3] << 24)
-            )
-            return decode(stream, seg_bit_pos, jnp.asarray(nm_const))
+            seg_bit_pos = le32(cap)
+            perm = rank = None
+            if bins > 1:  # length-sort permutation (see prep_batch tail)
+                perm, rank = le32(cap + 4 * L), le32(cap + 8 * L)
+            return decode(stream, seg_bit_pos, jnp.asarray(nm_const),
+                          perm, rank)
 
         if _raw:
             return decode_packed
@@ -1403,7 +1470,8 @@ class DeviceJpegDecoder:
                  soa_backend: bool | None = None,
                  split_win: bool | None = None, planar: bool = False,
                  soa_barriers: bool | None = None,
-                 i16: bool | None = None, p1_i16: bool | None = None):
+                 i16: bool | None = None, p1_i16: bool | None = None,
+                 bins: int | None = None):
         self.k_syms = k_syms
         self.max_steps = max_steps
         self.win_words = win_words
@@ -1412,6 +1480,7 @@ class DeviceJpegDecoder:
         self.split_win = split_win
         self.i16 = i16
         self.p1_i16 = p1_i16
+        self.bins = bins  # pass-1 straggler bins (see build_decode_fn)
         # planar=True: fused decode returns [B, 3, H, W] (color) — the
         # TPU-friendly layout (minor dim W, not 3); gray is unaffected
         self.planar = planar
@@ -1490,7 +1559,7 @@ class DeviceJpegDecoder:
                                  win1_words=self.win1_words,
                                  packed=self.packed, split_win=self.split_win,
                                  mesh=self.mesh if self.packed else None,
-                                 p1_i16=self.p1_i16)
+                                 p1_i16=self.p1_i16, bins=self.bins)
             self._decode_fns[key] = fn
         return fn(*self._put(plan))
 
@@ -1525,7 +1594,7 @@ class DeviceJpegDecoder:
         key = ("fused", plan.cache_key, int(plan.stream.shape[0]),
                self.mesh is not None, self.packed, self.merged_backend,
                self.soa_backend, self.planar, self.soa_barriers, self.i16,
-               self.p1_i16)
+               self.p1_i16, self.bins)
         fn = self._decode_fns.get(key)
         if fn is None:
             # packed+mesh entropy runs under shard_map and emits legacy
@@ -1540,7 +1609,7 @@ class DeviceJpegDecoder:
                 coeff_dtype=jnp.int32, _raw=True,
                 _soa_out=self.soa_backend and not packed_mesh,
                 mesh=self.mesh if self.packed else None,
-                i16=self.i16, p1_i16=self.p1_i16,
+                i16=self.i16, p1_i16=self.p1_i16, bins=self.bins,
             )
 
             if self.soa_backend:

@@ -33,7 +33,8 @@ class DecodePipeline:
     """
 
     def __init__(self, decoder=None, *, prep: Callable | None = None,
-                 run: Callable | None = None, prefetch: int = 2):
+                 run: Callable | None = None, prefetch: int = 2,
+                 workers: int | None = None):
         if decoder is not None and prep is None:
             from .device_entropy import prep_batch
 
@@ -46,6 +47,11 @@ class DecodePipeline:
         self._prep = prep
         self._run = run
         self._prefetch = max(1, prefetch)
+        # prep concurrency matches the prefetch depth by default (one
+        # thread per in-flight prep); cap it explicitly on small hosts —
+        # the 2-core dev box wants workers=1 so prep never starves the
+        # dispatch thread (CLAUDE.md host-contention gotchas)
+        self._workers = max(1, workers if workers is not None else prefetch)
 
     def map(self, batches: Iterable[list]) -> Iterator:
         """Yield device results for each batch, prep overlapped.
@@ -56,7 +62,7 @@ class DecodePipeline:
         dispatch stay on the caller thread (tunnel rule).
         """
         it = iter(batches)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=self._workers) as pool:
             pending = []
             for b in it:
                 pending.append(pool.submit(self._prep, b))
@@ -97,7 +103,10 @@ def qoi_onchip_pipeline(decoder=None, prefetch: int = 2) -> DecodePipeline:
         key = (plan.cache_key, int(plan.stream.shape[0]))
         fn = dec._fns.get(key)
         if fn is None:
-            fn = build_qoi_decode_fn(plan, k_ops=dec.k_ops)
+            fn = build_qoi_decode_fn(plan, k_ops=dec.k_ops,
+                                     ops_cap=dec.ops_cap,
+                                     win_words=dec.win_words,
+                                     carry_mb=dec.carry_mb)
             dec._fns[key] = fn
         return fn(
             jax.device_put(plan.stream),

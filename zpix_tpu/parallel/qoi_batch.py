@@ -42,6 +42,39 @@ from ..codecs.qoi.decode import QOI_HEADER_SIZE, QOI_PADDING_SIZE, _parse_header
 
 _DEF_CHUNK = int(os.environ.get("ZPIX_QOI_CHUNK", "64"))
 _DEF_K = int(os.environ.get("ZPIX_QOI_K", "4"))
+# record-slot capacity per chunk as a fraction of chunk_bytes (1 = the
+# exact worst case of one op per byte; production content runs 4-5 B/op,
+# so a divisor of 3-4 shrinks the dominant [mcap, L] record carry with
+# overflow detected exactly -> ok=False -> host fallback)
+_DEF_OPS_DIV = int(os.environ.get("ZPIX_QOI_OPS_DIV", "1"))
+# refuse to dispatch a program whose while-loop carry would exceed this
+# (the shared TPU worker kernel-faults near ~400 MB; CLAUDE.md 2026-08-21)
+_DEF_CARRY_MB = float(os.environ.get("ZPIX_QOI_CARRY_MB", "192"))
+
+
+def carry_bytes(plan: "QoiPlan", ops_cap: int | None = None,
+                groups: int = 1) -> int:
+    """Worst-case while-loop carry footprint of the decode program.
+
+    pos/px/cnt (3 x i32/u32) + done/err (2 x bool) + idx [64, L] u32 per
+    lane, plus record cols [mcap, Lg] u32 + cnts [mcap, Lg] i16 where
+    Lg = L / groups (the record scan runs as ``groups`` sequential while
+    loops over lane slices; only one slice's records sit in a carry at a
+    time — the sync scans carry no records)."""
+    L = plan.batch * plan.n_chunks
+    mcap = min(plan.chunk_bytes, ops_cap or plan.chunk_bytes)
+    per_lane = 3 * 4 + 2 + 64 * 4
+    return L * per_lane + (L // max(1, groups)) * mcap * (4 + 2)
+
+
+def _pick_groups(plan: "QoiPlan", ops_cap: int | None,
+                 carry_mb: float) -> int:
+    """Smallest power-of-two divisor of the batch that fits the guard."""
+    g = 1
+    while (carry_bytes(plan, ops_cap, g) > carry_mb * 1e6
+           and g < plan.batch and plan.batch % (g * 2) == 0):
+        g *= 2
+    return g
 
 
 @dataclass
@@ -109,28 +142,47 @@ def prep_qoi_batch(datas: list[bytes], chunk_bytes: int | None = None,
 
 def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
                         max_rounds: int | None = None, _raw: bool = False,
-                        mesh=None):
+                        mesh=None, ops_cap: int | None = None,
+                        win_words: int | None = None,
+                        record_groups: int | None = None,
+                        carry_mb: float | None = None):
     """Returns a jitted fn: (stream, img_byte_start, img_byte_end,
     img_raw_end) -> (rgba [B, H, W, 4] uint8, ok flag).
 
+    Lane discipline follows the round-2 JPEG treatment (device_entropy):
+    ONE [L, W]-word window row-gather per while step feeds a K-op
+    unrolled body (vs a gather per op), every lane-sized carry keeps the
+    huge L axis MINOR ([64, L] index table, [mcap, L] records), and the
+    record counts are int16.  ``ops_cap`` bounds record slots per chunk
+    below the 1-op-per-byte worst case; overflow is detected exactly and
+    reported as ok=False (host fallback keeps parity).
+
     mesh: shard the lane state over the mesh 'batch' axis.  Lanes are
-    batch-major ([L] = [B, F] flattened), so a leading-axis shard keeps
+    batch-major ([L] = [B, F] flattened), so a trailing-axis shard keeps
     every image's chunk lanes on one device; the compressed stream
     stays replicated (each lane gathers arbitrary offsets of it)."""
     import jax
     import jax.numpy as jnp
 
-    lane_sh = out_sh = None
+    from .device_entropy import _bits_at, _make_window_fetch
+
+    lane_sh = lane2_sh = out_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         lane_sh = NamedSharding(mesh, P("batch"))
+        lane2_sh = NamedSharding(mesh, P(None, "batch"))  # [X, L] lane-minor
         out_sh = NamedSharding(mesh, P("batch"))
 
     def _lane(x):
         if lane_sh is None:
             return x
         return jax.lax.with_sharding_constraint(x, lane_sh)
+
+    def _lane2(x):
+        if lane2_sh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, lane2_sh)
 
     def _b(x):
         """Constrain a [B, ...] per-image array onto the batch axis."""
@@ -142,11 +194,21 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
     F = plan.n_chunks
     L = B * F
     CB = plan.chunk_bytes
-    mcap = CB  # every op consumes >= 1 byte, so <= CB ops start per chunk
+    if ops_cap is None and _DEF_OPS_DIV > 1:
+        ops_cap = max(1, CB // _DEF_OPS_DIV)
+    mcap = min(CB, ops_cap or CB)  # record slots per chunk
+    GROUPS = record_groups or _pick_groups(
+        plan, mcap, _DEF_CARRY_MB if carry_mb is None else carry_mb
+    )
     npx = plan.width * plan.height
     K = k_ops if k_ops is not None else _DEF_K
+    # window: covers K ops of <= 5 bytes plus read slack; each while
+    # step does ONE [L, W] row gather and the unrolled ops read bytes
+    # at their running offset via cheap word selects (_bits_at)
+    W = win_words if win_words is not None else max(3, min(20, (5 * K + 11) // 4))
+    off_lim = 4 * W - 8  # b1 at off, b2..b5 as one 32-bit read at off+1
     rounds_cap = max_rounds if max_rounds is not None else F + 2
-    step_cap = CB + 2  # ops per chunk, whatever the unroll slices it into
+    step_cap = CB + 2  # absolute while-step cap (early-exits on done)
 
     PX0 = np.uint32(0x000000FF)  # r=g=b=0, a=255 (decoder.zig:60-62)
 
@@ -154,12 +216,15 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
         u32 = jnp.uint32
         i32 = jnp.int32
         s = stream.astype(u32)
-        n = stream.shape[0] - 8
-        b = [s[i : n + i] for i in range(8)]
-        # win[p] = bytes p..p+7 as two big-endian u32 words
-        w0 = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
-        w1 = (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
-        win = jnp.stack([w0, w1], axis=-1)  # [n, 2]
+        n = stream.shape[0] - 4 * W
+        bts = [s[i : n + i] for i in range(4 * W)]
+        words = [
+            (bts[4 * j] << 24) | (bts[4 * j + 1] << 16)
+            | (bts[4 * j + 2] << 8) | bts[4 * j + 3]
+            for j in range(W)
+        ]
+        win = jnp.stack(words, axis=-1)  # [n, W] big-endian words
+        fetch = _make_window_fetch(win)
 
         img_start = img_byte_start.astype(i32)
         img_end = img_byte_end.astype(i32)
@@ -171,23 +236,33 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
         )
         chunk_end = jnp.minimum(chunk_start + CB, img_end[lane_img])
         lane_raw_end = raw_end[lane_img]
-        slots = jnp.arange(64, dtype=i32)[None, :]  # [1, 64]
+        slots = jnp.arange(64, dtype=i32)[:, None]  # [64, 1] (lane-minor)
 
-        def scan_chunks(entries, record):
-            e_pos, e_px, e_idx = entries
+        def scan_chunks(entries, record, lo=0, hi=None):
+            """Scan lanes [lo:hi) (the record scan runs in lane groups so
+            its [mcap, Lg] record arrays bound the while carry)."""
+            hi = L if hi is None else hi
+            Lg = hi - lo
+            e_pos, e_px, e_idx = (
+                entries[0][lo:hi], entries[1][lo:hi], entries[2][:, lo:hi]
+            )
+            g_chunk_end = chunk_end[lo:hi]
+            g_raw_end = lane_raw_end[lo:hi]
 
             def body(st):
                 pos, px, idx, done, err, cols, cnts, cnt, steps = st
+                byte = jnp.clip(pos, 0, n - 1)
+                w = fetch(byte)  # one row gather per step
+                off = jnp.zeros_like(pos)
                 emits = []
                 for _ in range(K):
-                    active = ~done
-                    w = win[jnp.clip(pos, 0, n - 1)]  # [L, 2]
-                    wa, wb = w[:, 0], w[:, 1]
-                    b1 = (wa >> 24).astype(i32)
-                    b2 = ((wa >> 16) & 0xFF).astype(i32)
-                    b3 = ((wa >> 8) & 0xFF).astype(i32)
-                    b4 = (wa & 0xFF).astype(i32)
-                    b5 = (wb >> 24).astype(i32)
+                    active = (~done) & (off <= off_lim)
+                    b1 = _bits_at(jnp, w, off * 8, 8).astype(i32)
+                    rest = _bits_at(jnp, w, off * 8 + 8, 32)  # b2..b5
+                    b2 = (rest >> 24).astype(i32)
+                    b3 = ((rest >> 16) & 0xFF).astype(i32)
+                    b4 = ((rest >> 8) & 0xFF).astype(i32)
+                    b5 = (rest & 0xFF).astype(i32)
 
                     is_rgb = b1 == 0xFE
                     is_rgba = b1 == 0xFF
@@ -201,8 +276,8 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
 
                     # OP_INDEX: gather-free one-hot read of the rolling table
                     j = b1 & 63
-                    hit = slots == j[:, None]  # [L, 64]
-                    px_idx = jnp.sum(jnp.where(hit, idx, u32(0)), axis=1)
+                    hit = slots == j[None, :]  # [64, L]
+                    px_idx = jnp.sum(jnp.where(hit, idx, u32(0)), axis=0)
                     ir = ((px_idx >> 24) & 0xFF).astype(i32)
                     ig = ((px_idx >> 16) & 0xFF).astype(i32)
                     ib = ((px_idx >> 8) & 0xFF).astype(i32)
@@ -241,7 +316,7 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
                         is_rgb, 4, jnp.where(is_rgba, 5, jnp.where(t_luma, 2, 1))
                     )
                     emit = jnp.where(t_run, (b1 & 63) + 1, 1)
-                    bad = active & (pos + size > lane_raw_end)
+                    bad = active & (pos + off + size > g_raw_end)
                     app = active & ~bad
 
                     new_px = (
@@ -252,39 +327,40 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
                     )
                     px = jnp.where(app, new_px, px)
                     h = ((nr * 3 + ng * 5 + nb * 7 + na * 11) & 63)
-                    wr = app[:, None] & (slots == h[:, None])
-                    idx = jnp.where(wr, px[:, None], idx)
+                    wr = app[None, :] & (slots == h[None, :])  # [64, L]
+                    idx = jnp.where(wr, px[None, :], idx)
 
                     if record:
                         over = cnt >= mcap
                         emits.append((
                             jnp.clip(cnt, 0, mcap - 1),
                             jnp.where(app & ~over, px, u32(0)),
-                            jnp.where(app & ~over, emit, 0),
+                            jnp.where(app & ~over, emit, 0).astype(jnp.int16),
                         ))
                         err = err | (app & over)
                     cnt = jnp.where(app, cnt + 1, cnt)
-                    pos = jnp.where(app, pos + size, pos)
+                    off = jnp.where(app, off + size, off)
                     err = err | bad
-                    done = done | (pos >= chunk_end) | bad
+                    done = done | (pos + off >= g_chunk_end) | bad
                 if record:
-                    arb = jnp.arange(mcap)[None, :]
+                    # ONE [mcap, L] one-hot accumulation per step (lane
+                    # axis minor — the JPEG pass-1 emission discipline)
+                    arb = jnp.arange(mcap)[:, None]
                     cols = cols + sum(
-                        jnp.where(ci[:, None] == arb, cv[:, None], u32(0))
+                        jnp.where(ci[None, :] == arb, cv[None, :], u32(0))
                         for ci, cv, _ in emits
                     )
                     cnts = cnts + sum(
-                        jnp.where(ci[:, None] == arb, ev[:, None], 0)
+                        jnp.where(ci[None, :] == arb, ev[None, :], jnp.int16(0))
                         for ci, _, ev in emits
                     )
+                pos = pos + off
                 return (pos, px, idx, done, err, cols, cnts, cnt, steps + 1)
 
             def cond(st):
-                return (jnp.sum(st[3].astype(i32)) < L) & (
-                    st[8] * K < step_cap
-                )
+                return (jnp.sum(st[3].astype(i32)) < Lg) & (st[8] < step_cap)
 
-            shape1 = (L, mcap if record else 1)
+            shape1 = (mcap if record else 1, Lg)
             st = jax.lax.while_loop(
                 cond,
                 body,
@@ -292,11 +368,11 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
                     e_pos,
                     e_px,
                     e_idx,
-                    e_pos >= chunk_end,
-                    jnp.zeros(L, bool),
+                    e_pos >= g_chunk_end,
+                    jnp.zeros(Lg, bool),
                     jnp.zeros(shape1, u32),
-                    jnp.zeros(shape1, i32),
-                    jnp.zeros(L, i32),
+                    jnp.zeros(shape1, jnp.int16),
+                    jnp.zeros(Lg, i32),
                     jnp.int32(0),
                 ),
             )
@@ -306,7 +382,7 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
         guess = (
             _lane(chunk_start),
             _lane(jnp.full(L, PX0, u32)),
-            _lane(jnp.zeros((L, 64), u32)),
+            _lane2(jnp.zeros((64, L), u32)),
         )
 
         def shift(exits):
@@ -314,15 +390,15 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
             pos, px, idx = exits
             pos2 = pos.reshape(B, F)
             px2 = px.reshape(B, F)
-            idx2 = idx.reshape(B, F, 64)
+            idx2 = idx.reshape(64, B, F)
             return (
                 jnp.concatenate([img_start[:, None], pos2[:, :-1]], 1).reshape(L),
                 jnp.concatenate(
                     [jnp.full((B, 1), PX0, u32), px2[:, :-1]], 1
                 ).reshape(L),
                 jnp.concatenate(
-                    [jnp.zeros((B, 1, 64), u32), idx2[:, :-1]], 1
-                ).reshape(L, 64),
+                    [jnp.zeros((64, B, 1), u32), idx2[:, :, :-1]], 2
+                ).reshape(64, L),
             )
 
         def sync_round(st):
@@ -340,15 +416,32 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
         )
         entries = st[0]
 
-        # ---- record scan from converged entries
-        sc = scan_chunks(entries, record=True)
-        cols, cnts = sc[5], sc[6]  # [L, mcap]
-        scan_ok = jnp.all(sc[3]) & ~jnp.any(sc[4])
-        fill_px = sc[1].reshape(B, F)[:, -1]  # decoder px at stream end
+        # ---- record scan from converged entries, in GROUPS lane groups
+        # (each group's [mcap, Lg] records are the only big while carry;
+        # sequential groups bound peak carry below the worker-fault size)
+        cols_p, cnts_p, px_p, done_p, err_p = [], [], [], [], []
+        for g_ in range(GROUPS):
+            lo, hi = g_ * L // GROUPS, (g_ + 1) * L // GROUPS
+            sc = scan_chunks(entries, record=True, lo=lo, hi=hi)
+            cols_p.append(sc[5])
+            cnts_p.append(sc[6])
+            px_p.append(sc[1])
+            done_p.append(sc[3])
+            err_p.append(sc[4])
+        cols = jnp.concatenate(cols_p, axis=1)  # [mcap, L] lane-minor
+        cnts = jnp.concatenate(cnts_p, axis=1)
+        scan_ok = (jnp.all(jnp.concatenate(done_p))
+                   & ~jnp.any(jnp.concatenate(err_p)))
+        # decoder px at stream end (last chunk lane of each image)
+        fill_px = jnp.concatenate(px_p).reshape(B, F)[:, -1]
 
         # ---- run expansion: (color, count) pairs -> pixel raster
-        cnts_img = cnts.reshape(B, F * mcap)
-        cols_img = cols.reshape(B, F * mcap)
+        # [mcap, B, F] -> [B, F, mcap]: per-image ops in (chunk, slot) order
+        to_img = lambda a: jnp.transpose(  # noqa: E731
+            a.reshape(mcap, B, F), (1, 2, 0)
+        ).reshape(B, F * mcap)
+        cnts_img = to_img(cnts.astype(i32))
+        cols_img = to_img(cols)
         cum = jnp.cumsum(cnts_img, axis=1)  # [B, F*mcap]
         total = cum[:, -1]
         gpix = jnp.arange(npx)
@@ -389,11 +482,40 @@ class BatchQoiDecoder:
     """
 
     def __init__(self, *, chunk_bytes: int | None = None,
-                 k_ops: int | None = None, mesh=None):
+                 k_ops: int | None = None, mesh=None,
+                 ops_cap: int | None = None, win_words: int | None = None,
+                 carry_mb: float | None = None):
         self.chunk_bytes = chunk_bytes
         self.k_ops = k_ops
         self.mesh = mesh
+        self.ops_cap = ops_cap
+        self.win_words = win_words
+        self.carry_mb = _DEF_CARRY_MB if carry_mb is None else carry_mb
         self._fns: dict = {}
+
+    def _effective_ops_cap(self, plan: QoiPlan) -> int | None:
+        if self.ops_cap is not None:
+            return self.ops_cap
+        if _DEF_OPS_DIV > 1:
+            return max(1, plan.chunk_bytes // _DEF_OPS_DIV)
+        return None
+
+    def _guard(self, plan: QoiPlan):
+        """Refuse programs whose while carry could fault the TPU worker
+        (measured kernel fault near ~400 MB record carries, 2026-08-21).
+        The record scan auto-splits into lane groups first; the guard
+        trips only when even the finest split exceeds the budget."""
+        cap = self._effective_ops_cap(plan)
+        g = _pick_groups(plan, cap, self.carry_mb)
+        cb = carry_bytes(plan, cap, g)
+        if cb > self.carry_mb * 1e6:
+            raise UnsupportedError(
+                f"qoi: decode while-carry {cb / 1e6:.0f} MB exceeds the "
+                f"{self.carry_mb:.0f} MB guard (batch={plan.batch}, "
+                f"chunks={plan.n_chunks}, chunk_bytes={plan.chunk_bytes}); "
+                "shrink the batch, raise ZPIX_QOI_OPS_DIV, or use the host "
+                "decoder"
+            )
 
     def decode(self, datas: list[bytes]):
         import jax
@@ -402,11 +524,15 @@ class BatchQoiDecoder:
 
         with trace("qoi_onchip.prep"):
             plan = prep_qoi_batch(datas, self.chunk_bytes)
+        self._guard(plan)
         metrics.count("qoi_onchip.images", len(datas))
         key = (plan.cache_key, int(plan.stream.shape[0]), plan.n_chunks)
         fn = self._fns.get(key)
         if fn is None:
-            fn = build_qoi_decode_fn(plan, k_ops=self.k_ops, mesh=self.mesh)
+            fn = build_qoi_decode_fn(plan, k_ops=self.k_ops, mesh=self.mesh,
+                                     ops_cap=self.ops_cap,
+                                     win_words=self.win_words,
+                                     carry_mb=self.carry_mb)
             self._fns[key] = fn
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -427,9 +553,13 @@ class BatchQoiDecoder:
         )
 
     def decode_verified(self, datas: list[bytes]) -> np.ndarray:
-        """Host numpy output with per-batch host fallback on ok=False."""
-        rgba, ok = self.decode(datas)
-        if bool(ok):
+        """Host numpy output with per-batch host fallback on ok=False
+        (or when the carry guard refuses to dispatch)."""
+        try:
+            rgba, ok = self.decode(datas)
+        except UnsupportedError:
+            ok = False
+        if ok is not False and bool(ok):
             return np.asarray(rgba)
         from ..codecs.qoi.decode import decode as host_decode
 
