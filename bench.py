@@ -195,6 +195,11 @@ def main_onchip(batch: int, size: int, steps: int):
     # best-of-4: inter-process timing drift on the tunneled chip is
     # +-20% (CLAUDE.md); one extra sample tightens the best-of estimate
     trials = int(os.environ.get("BENCH_TRIALS", "4"))
+    # megastep (staged only): ALL steps decode in ONE dispatch; its
+    # warm compile consumes one trial's content, so budget one extra
+    mega = staged and os.environ.get("BENCH_MEGASTEP", "1") == "1"
+    if mega:
+        trials += 1
     # distinct content per (trial, step): the backend replays cached
     # results for repeated (program, inputs)
     pools = make_pools(steps * (trials if staged else 1), batch, size,
@@ -253,6 +258,26 @@ def main_onchip(batch: int, size: int, steps: int):
         out, ok = fused0(allb[i])
         return digest(acc, out), ok, out
 
+    @_jax.jit
+    def bench_mega(acc, allb):
+        """ALL staged steps in ONE dispatch: lax.scan over the [S, cap]
+        rows with the digest chained inside the program.  Removes the
+        per-step dispatch round trip (the per-call path measures
+        dispatch + compute; production serving batches dispatches).
+        Content is distinct per row, the returned digest depends on
+        every output pixel, and ok AND-reduces across steps — the same
+        honesty properties as the per-call chain."""
+
+        def stepf(carry, row):
+            a, okall = carry
+            out, ok = fused0(row)
+            return (digest(a, out), okall & ok), jnp.uint32(0)
+
+        (acc, okall), _ = _jax.lax.scan(
+            stepf, (acc, jnp.asarray(True)), allb
+        )
+        return acc, okall
+
     acc0, ok, out = bench_step(jnp.uint32(0), *dec._put(plan0))
     _ = int(acc0)  # compile + force warmup
     okv = fetch_ok(ok)
@@ -265,6 +290,9 @@ def main_onchip(batch: int, size: int, steps: int):
         prep_pool = ThreadPoolExecutor(max_workers=2)
         one_put = os.environ.get("BENCH_STAGE_ONEPUT", "1") == "1"
         warmed_row = False
+        # megastep: ALL steps in one dispatch (default on; the warm
+        # compile consumes one trial's content, so add a trial for it)
+        warmed_mega = False
         # Pin every plan to plan0's stream-buffer bucket: distinct
         # content straddling a pow2 boundary would otherwise change the
         # packed layout and silently force the per-put fallback.
@@ -305,6 +333,24 @@ def main_onchip(batch: int, size: int, steps: int):
                     # the warmup already uploaded these exact bytes; a
                     # deduped re-upload measures latency, not the wire
                     up_best = min(up_best, t_tr)
+                if mega:
+                    if not warmed_mega:
+                        # compile outside the timed region (the warm
+                        # run consumes this trial's content; its time
+                        # is NOT recorded — replay rules)
+                        a2, okm = bench_mega(jnp.uint32(7), allb)
+                        _ = int(a2)
+                        okv = fetch_ok(okm)
+                        assert okv is not False, "megastep failed ok"
+                        warmed_mega = True
+                        del allb
+                        continue
+                    t0 = time.perf_counter()
+                    a2, last_ok = bench_mega(jnp.uint32(trial + 1), allb)
+                    _ = int(a2)
+                    trial_times.append(time.perf_counter() - t0)
+                    del allb
+                    continue
                 t0 = time.perf_counter()
                 acc = jnp.uint32(trial + 1)
                 for i in range(steps):
@@ -585,9 +631,77 @@ def main_sync(batch: int, size: int, steps: int):
         [make_bench_jpeg(size, seed=s * batch + j) for j in range(batch)]
         for s in range(steps * trials)
     ]
+    digest = make_digest()
+
+    if os.environ.get("BENCH_SYNC_IMPL", "hostindex") == "hostindex":
+        # Round-4 fast path for restart-free streams: host C++ INDEX
+        # scan (lengths only) + device value pass.  The host scan is
+        # real per-batch work, so it is TIMED (unlike upload staging):
+        # the headline is the serialized host+device time; a pipelined
+        # projection (host and device overlap across batches) prints
+        # alongside.  The speculative chip-resident path remains
+        # A/B-able via BENCH_SYNC_IMPL=spec.
+        from zpix_tpu.parallel.device_entropy import (
+            HostIndexJpegDecoder,
+            prep_batch_host_index,
+        )
+
+        dec = HostIndexJpegDecoder(
+            planar=os.environ.get("BENCH_PLANAR", "1") == "1"
+        )
+
+        @jax.jit
+        def dig_hi(acc, out):
+            return digest(acc, out)
+
+        plan0 = prep_batch_host_index(pools[0])
+        hint = int(plan0.stream.shape[0])
+        t_h = time.perf_counter()
+        plans = [plan0] + [
+            prep_batch_host_index(p, cap_hint=hint)
+            for p in pools[1 : trials * steps]
+        ]
+        host_s = (time.perf_counter() - t_h) / max(1, len(plans) - 1)
+        lay0 = (plan0.cache_key, plan0.packed.shape)
+        bufs = [
+            dec._put(p) for p in plans
+            if (p.cache_key, p.packed.shape) == lay0
+        ]
+        jax.block_until_ready(bufs)
+        fn = dec._fused(plan0)
+        out, ok = fn(*bufs[0])
+        _ = int(dig_hi(jnp.uint32(0), out))  # warm
+        assert bool(ok), "host-index decode failed verification on warmup"
+        best = float("inf")
+        done = 0
+        for t in range(trials):
+            todo = bufs[done : done + steps]
+            if not todo:
+                break
+            done += len(todo)
+            t0 = time.perf_counter()
+            acc = jnp.uint32(t + 1)
+            for b in todo:
+                out, ok = fn(*b)
+                acc = dig_hi(acc, out)
+            _ = int(acc)
+            best = min(best, (time.perf_counter() - t0) / len(todo))
+        assert bool(ok), "host-index decode failed verification"
+        dev_s = best
+        ser = mpix / (host_s + dev_s)
+        pipe = mpix / max(host_s, dev_s)
+        print(
+            f"# restart-free host-index path | batch={batch} size={size} "
+            f"steps={steps} backend={jax.devices()[0].platform} | host "
+            f"index {host_s * 1e3:.0f} ms/batch ({mpix / host_s:.0f} "
+            f"MPix/s), device {dev_s * 1e3:.0f} ms/batch "
+            f"({mpix / dev_s:.0f} MPix/s), pipelined {pipe:.0f} MPix/s",
+            file=sys.stderr,
+        )
+        return ser
+
     cb = int(os.environ.get("BENCH_SYNC_CHUNK", "256"))
     dec = SyncJpegDecoder(chunk_bytes=cb)
-    digest = make_digest()
 
     @jax.jit
     def dig(acc, out):
@@ -885,10 +999,12 @@ def main_prog(batch: int, size: int, steps: int):
             acc = dig(acc, out)
         _ = int(acc)
         best = min(best, time.perf_counter() - t0)
+    tail = getattr(dec, "n_host_tail_scans", None)
     print(
         f"# progressive on-chip path | batch={batch} size={size} "
         f"steps={steps} backend={jax.devices()[0].platform} "
-        f"| scans 1-5 on chip, AC refinements host-tail",
+        f"| host-tail scans: {tail} (AC refinements use the host-index/"
+        f"device-value split when 0)",
         file=sys.stderr,
     )
     return steps * mpix / best
@@ -930,7 +1046,8 @@ def main():
             json.dumps(
                 {
                     "metric": "batched progressive JPEG decode "
-                    "(on-chip first scans + host refinement tail)",
+                    "(on-chip scans; AC refine via host-index/"
+                    "device-value split)",
                     "value": round(mpix_s, 1),
                     "unit": "MPix/s/chip",
                     "vs_baseline": round(mpix_s / 2000.0, 4),
@@ -955,11 +1072,16 @@ def main():
 
     if os.environ.get("BENCH_MODE", "onchip") == "sync":
         mpix_s = main_sync(batch, size, steps)
+        sync_name = (
+            "batched restart-free JPEG decode (host index pass + "
+            "device value pass)"
+            if os.environ.get("BENCH_SYNC_IMPL", "hostindex") == "hostindex"
+            else "batched restart-free JPEG decode (on-chip speculative sync)"
+        )
         print(
             json.dumps(
                 {
-                    "metric": "batched restart-free JPEG decode "
-                    "(on-chip speculative sync)",
+                    "metric": sync_name,
                     "value": round(mpix_s, 1),
                     "unit": "MPix/s/chip",
                     "vs_baseline": round(mpix_s / 2000.0, 4),

@@ -285,6 +285,28 @@ def test_pass1_bins_parity():
         assert np.array_equal(np.asarray(ref), np.asarray(out)), f"bins={bins}"
 
 
+def test_host_index_restart_free_parity(testdata):
+    """Restart-free streams (the case where speculative sync is provably
+    serial): host C++ index pass + device value pass must reproduce the
+    host batch decoder exactly, including the pass-2 offset verification."""
+    from zpix_tpu.parallel.device_entropy import HostIndexJpegDecoder
+
+    with open(os.path.join(testdata, "video-001.jpeg"), "rb") as f:
+        data = f.read()
+    dec = HostIndexJpegDecoder()
+    out, ok = dec.decode([data, data])
+    assert bool(ok)
+    ref = np.asarray(BatchJpegDecoder().decode([data, data]))
+    assert np.array_equal(np.asarray(out), ref)
+
+
+def test_host_index_rejects_restart_streams(restart_jpeg):
+    from zpix_tpu.parallel.device_entropy import prep_batch_host_index
+
+    with pytest.raises(UnsupportedError):
+        prep_batch_host_index([restart_jpeg])
+
+
 def test_i16_stores_parity(restart_jpeg):
     """The int16 value-pass store (split DC row) and int16 relative
     pass-1 ends must decode bit-identically to the int32 forms — the

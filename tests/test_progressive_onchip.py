@@ -1,10 +1,12 @@
 """On-chip progressive entropy decode differentials.
 
 The device decodes every DC-first / AC-first / DC-refine scan
-(speculative chunk fixed point, progressive_onchip.py); only AC
-refinements run on the host, seeded by one store fetch.  Output must be
-bit-exact with the host decoder (itself parity-tested against the
-reference semantics, decoder.zig:1362-1549) over the progressive corpus.
+(speculative chunk fixed point, progressive_onchip.py); AC refinements
+use the host-INDEX/device-VALUE split (C++ bit-offset pass + mask-
+parallel device apply), with the host tail as fallback for nonstandard
+scripts.  Output must be bit-exact with the host decoder (itself
+parity-tested against the reference semantics, decoder.zig:1362-1549)
+over the progressive corpus.
 """
 
 import glob
@@ -68,6 +70,37 @@ def test_onchip_prefix_covers_spectral_scans(testdata):
     first_refine = kinds.index("ac_refine")
     assert first_refine >= 5
     assert all(k in ("dc_first", "ac_first") for k in kinds[:first_refine])
+
+
+def test_onchip_ac_refine_zero_host_tail(testdata):
+    """The AC-refinement index/value split must cover the WHOLE standard
+    scan script on device: zero host-tail scans, pixels exact."""
+    path = os.path.join(testdata, "video-001.q50.444.progressive.jpeg")
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = OnchipProgressiveDecoder(**_KW)
+    out, ok = dec.decode([data, data])
+    assert dec.n_host_tail_scans == 0, (
+        f"{dec.n_host_tail_scans} scans fell back to the host tail"
+    )
+    assert bool(ok)
+    want = _want(data)
+    got = np.asarray(out)
+    assert np.array_equal(got[0], want) and np.array_equal(got[1], want)
+
+
+def test_onchip_ac_refine_gray_zero_host_tail(testdata):
+    """Gray progressive: single-component refinements through the split."""
+    path = os.path.join(testdata, "video-005.gray.q50.progressive.jpeg")
+    if not os.path.exists(path):
+        pytest.skip("corpus file missing")
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = OnchipProgressiveDecoder(**_KW)
+    out, ok = dec.decode([data])
+    assert dec.n_host_tail_scans == 0
+    assert bool(ok)
+    assert np.array_equal(np.asarray(out)[0], _want(data))
 
 
 @pytest.mark.slow

@@ -858,7 +858,7 @@ def build_decode_fn(
     coeff_dtype=None, _stage: int = 2, _raw: bool = False,
     _soa_out: bool = False, split_win: bool | None = None,
     mesh=None, i16: bool | None = None, p1_i16: bool | None = None,
-    bins: int | None = None, _stats: bool = False,
+    bins: int | None = None, ends_in: bool = False, _stats: bool = False,
 ):
     """Returns a jitted fn: (stream_u8, seg_bit_pos, seg_n_mcu) ->
     (coeffs [L1, seg_mcus*bpm, 64] int16 natural-order, ok flag).
@@ -924,6 +924,10 @@ def build_decode_fn(
             "sort permutation rides in the packed buffer)"
         )
     bins = max(1, min(bins, plan.batch * plan.n_segs))
+    if ends_in and (not packed or mesh is not None or bins > 1):
+        raise ValueError(
+            "jpeg: ends_in (host index pass) needs the plain packed form"
+        )
     if max_steps is None:
         # every pass-1 step consumes >= min(k1 symbols of >= 2 bits,
         # the window capacity) or finishes the lane, so the longest
@@ -931,7 +935,8 @@ def build_decode_fn(
         per_step = max(2, min(2 * k1, off_lim1 - 38))
         max_steps = plan.max_seg_bits // per_step + 64
 
-    def decode(stream, seg_bit_pos, seg_n_mcu, sort_perm=None, sort_rank=None):
+    def decode(stream, seg_bit_pos, seg_n_mcu, sort_perm=None,
+               sort_rank=None, host_ends=None):
         L1 = seg_bit_pos.shape[0]
         L2 = L1 * nblk
         u32 = jnp.uint32
@@ -1052,7 +1057,15 @@ def build_decode_fn(
                 ),
             )
 
-        if bins > 1:
+        if ends_in:
+            # Host C++ index pass already produced every block's end bit
+            # offset (zpix_baseline_index_scan): skip pass 1 entirely.
+            # Pass 2 re-derives each end independently and the `agree`
+            # check below still verifies the host pass bit-for-bit.
+            ends = host_ends.reshape(L1, nblk)
+            ok1 = jnp.asarray(True)
+            p1_steps = jnp.int32(0)
+        elif bins > 1:
             # Straggler mitigation: lanes arrive length-sorted via the
             # data-level permutation (prep_batch); each contiguous group
             # runs its own while loop, exiting at its OWN longest
@@ -1252,11 +1265,17 @@ def build_decode_fn(
 
             stream = buf[:cap]
             seg_bit_pos = le32(cap)
-            perm = rank = None
+            perm = rank = hends = None
             if bins > 1:  # length-sort permutation (see prep_batch tail)
                 perm, rank = le32(cap + 4 * L), le32(cap + 8 * L)
+            if ends_in:  # host-index packed form: [stream | pos | ends]
+                nblk_ = plan.seg_mcus * plan.bpm
+                pb = buf[cap + 4 * L : cap + 4 * L + 4 * L * nblk_]
+                pb = pb.reshape(L * nblk_, 4).astype(jnp.int32)
+                hends = (pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16)
+                         | (pb[:, 3] << 24))
             return decode(stream, seg_bit_pos, jnp.asarray(nm_const),
-                          perm, rank)
+                          perm, rank, hends)
 
         if _raw:
             return decode_packed
@@ -1663,6 +1682,203 @@ class DeviceJpegDecoder:
         with trace("jpeg_onchip.upload"):
             bufs = self._put(plan)
         with trace("jpeg_onchip.dispatch"):
+            return self._fused(plan)(*bufs)
+
+
+def prep_batch_host_index(datas: list[bytes],
+                          cap_hint: int | None = None) -> ScanPlan:
+    """Restart-free batches: host C++ INDEX scan -> per-block bit ends.
+
+    Speculative chunk self-sync converges one chunk per round on
+    interleaved restart-free baseline JPEG (RESULTS.md round-3 profile:
+    360 serial rounds), so the fast path for such streams decodes
+    symbol LENGTHS on the host (runtime.zpix_baseline_index_scan:
+    LUT16, thread-per-image, no coefficient writes) and ships
+    [stream ++ per-block end offsets] to the device value pass — the
+    same pass-2 + SoA back-end as the restart path, whose `agree`
+    verification re-derives every end bit-for-bit.
+
+    Packed layout: [flat stream | seg_bit_pos i32 [B] | ends i32
+    [B * n_mcu * bpm]] with one segment per image (n_segs=1).
+    """
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import runtime
+
+    lib = runtime.get_lib()
+    if lib is None or not hasattr(lib, "zpix_baseline_index_scan"):
+        raise UnsupportedError("jpeg: host-index path needs the native runtime")
+    if not datas:
+        raise ValueError("jpeg: empty batch")
+    first = None
+    streams = []
+    for data in datas:
+        sof, quants, huffs, dri, sel, scan_start, color = _parse_headers(data)
+        key = (sof, tuple(q.tobytes() if q is not None else None for q in quants),
+               tuple(sorted((k, t.num_codes, tuple(t.vals), tuple(t.min_codes),
+                             tuple(t.max_codes), tuple(t.vals_indices))
+                            for k, t in huffs.items())), dri, tuple(sel), color)
+        if first is None:
+            first = (key, sof, quants, huffs, dri, sel, color)
+        elif key != first[0]:
+            raise UnsupportedError("jpeg: batch must share geometry and tables")
+        stream, seg_starts = _destuff(data, scan_start)
+        if len(seg_starts) != 1 or int(seg_starts[0]) != 0:
+            raise UnsupportedError(
+                "jpeg: host-index path covers restart-free streams "
+                "(use prep_batch/DeviceJpegDecoder for DRI > 0)"
+            )
+        streams.append(stream)
+
+    _, sof, quants, huffs, dri, sel, color = first
+    w, h, nc, comps = sof
+    h0, v0 = comps[0][1], comps[0][2]
+    mxx = (w + 8 * h0 - 1) // (8 * h0)
+    myy = (h + 8 * v0 - 1) // (8 * v0)
+    n_mcu = mxx * myy
+    comp_of_slot = []
+    for c in range(nc):
+        comp_of_slot += [c] * (comps[c][1] * comps[c][2])
+    bpm = len(comp_of_slot)
+    nblk = n_mcu * bpm
+    B = len(datas)
+
+    order = []
+    for want_cls in (1, 0):
+        for c, td, ta in sel:
+            kk = (want_cls, ta if want_cls else td)
+            if kk not in order:
+                order.append(kk)
+    tid_of = {kk: i for i, kk in enumerate(order)}
+    cmp = CmpTables([huffs[kk] for kk in order])
+    sel_by_comp = {i: (td, ta) for i, (_, td, ta) in enumerate(sel)}
+    tid_dc = tuple(tid_of[(0, sel_by_comp[c][0])] for c in range(nc))
+    tid_ac = tuple(tid_of[(1, sel_by_comp[c][1])] for c in range(nc))
+
+    # marshal the canonical tables for the C index scan ([8]: dc|ac)
+    huff_arr = (runtime.HuffTableC * 8)()
+    for (cls, tid), tab in huffs.items():
+        ct = huff_arr[cls * 4 + tid]
+        ct.min_codes[:] = tab.min_codes
+        ct.max_codes[:] = tab.max_codes
+        ct.vals_indices[:] = tab.vals_indices
+        ct.vals[:] = tab.vals
+        ct.num_codes = tab.num_codes
+    slot_dc = np.array([sel_by_comp[c][0] for c in comp_of_slot], np.int32)
+    slot_ac = np.array([sel_by_comp[c][1] for c in comp_of_slot], np.int32)
+
+    ends = np.empty((B, nblk), np.int32)
+    padded = [
+        np.ascontiguousarray(np.concatenate([s, np.zeros(8, np.uint8)]))
+        for s in streams
+    ]
+
+    def one(b):
+        endb = ctypes.c_int64(0)
+        rc = lib.zpix_baseline_index_scan(
+            padded[b].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(streams[b]), huff_arr,
+            slot_dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            slot_ac.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bpm, n_mcu,
+            ends[b].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.byref(endb),
+        )
+        return rc
+
+    with ThreadPoolExecutor(max_workers=min(B, os.cpu_count() or 2)) as ex:
+        rcs = list(ex.map(one, range(B)))
+    bad = [rc for rc in rcs if rc != 0]
+    if bad:
+        raise FormatError(f"jpeg: host index scan failed (rc={bad[0]})")
+
+    offs, total = [], 0
+    for s in streams:
+        offs.append(total)
+        total += (len(s) + 7) // 8 * 8
+    cap = 1 << max(12, (max(total + 16, cap_hint or 0) - 1).bit_length())
+    flat = np.zeros(cap, np.uint8)
+    for s, o in zip(streams, offs):
+        flat[o : o + len(s)] = s
+    seg_bit_pos = (np.asarray(offs, np.int64) * 8).astype(np.int64)
+    ends_abs = ends + (seg_bit_pos[:, None]).astype(np.int32)
+    max_seg_bits = 1 << max(10, (8 * max(len(s) for s in streams) - 1)
+                            .bit_length())
+    packed = np.concatenate([
+        flat, seg_bit_pos.astype("<i4").view(np.uint8),
+        ends_abs.astype("<i4").reshape(-1).view(np.uint8),
+    ])
+    ratio = "gray"
+    if nc >= 3:
+        hr = comps[0][1] // comps[1][1]
+        vr = comps[0][2] // comps[1][2]
+        ratio = {0x11: "444", 0x12: "440", 0x21: "422",
+                 0x22: "420", 0x41: "411", 0x42: "410"}[(hr << 4) | vr]
+    return ScanPlan(
+        width=w, height=h, ncomp=nc,
+        hv=tuple((c[1], c[2]) for c in comps), ratio=ratio,
+        mxx=mxx, myy=myy, bpm=bpm, comp_of_slot=tuple(comp_of_slot),
+        n_mcu=n_mcu, seg_mcus=n_mcu, n_segs=1,
+        quants=[quants[c[3]] for c in comps],
+        cmp=cmp, tid_dc=tid_dc, tid_ac=tid_ac,
+        stream=flat, seg_bit_pos=seg_bit_pos,
+        seg_n_mcu=np.full(B, n_mcu, np.int32),
+        max_seg_bits=max_seg_bits, batch=B,
+        cache_key=(first[0], B, max_seg_bits, "host_index"),
+        packed=packed, color=color,
+    )
+
+
+class HostIndexJpegDecoder(DeviceJpegDecoder):
+    """Restart-free JPEG: host C++ index pass + device value pass.
+
+    The chip-resident speculative path (SyncJpegDecoder) is provably
+    serial on interleaved restart-free streams; this decoder is the
+    framework's FAST path for them — host decodes lengths only, the
+    device decodes every block's values in parallel and verifies the
+    host offsets exactly (pass-2 `agree`).
+    """
+
+    def __init__(self, **kw):
+        kw.setdefault("packed", True)
+        super().__init__(**kw)
+
+    def _fused(self, plan: ScanPlan):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("fused_hi", plan.cache_key, int(plan.stream.shape[0]),
+               self.planar, self.i16)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            body = build_decode_fn(
+                plan, k_syms=self.k_syms, max_steps=self.max_steps,
+                win_words=self.win_words, packed=True, ends_in=True,
+                split_win=self.split_win, coeff_dtype=jnp.int32,
+                _raw=True, _soa_out=True, i16=self.i16,
+            )
+
+            def fused(*args):
+                coeffs, ok = body(*args)
+                return _soa_backend(
+                    plan, coeffs, planar=self.planar,
+                    barriers=self.soa_barriers,
+                ), ok
+
+            fn = jax.jit(fused)
+            self._decode_fns[key] = fn
+        return fn
+
+    def decode(self, datas: list[bytes]):
+        from ..utils import metrics, trace
+
+        with trace("jpeg_hostindex.prep"):
+            plan = prep_batch_host_index(datas)
+        metrics.count("jpeg_hostindex.images", len(datas))
+        with trace("jpeg_hostindex.upload"):
+            bufs = self._put(plan)
+        with trace("jpeg_hostindex.dispatch"):
             return self._fused(plan)(*bufs)
 
 

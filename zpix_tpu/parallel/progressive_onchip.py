@@ -26,26 +26,27 @@ fixed-point machinery as the restart-free baseline decoder
   Huffman at all: ``unpackbits`` + ``row0 |= bit << Al``
   (decoder.py:721-726).
 
-AC refinement scans (correction bits gated on the accumulated nonzero
-pattern, decoder.py:728-775) stay on the host: the device store is
-fetched ONCE when the first refinement scan is reached, the host
-decodes only the refinement tail from that seed (zero host Huffman for
-every scan before it), and refinements apply as sparse deltas
-(progressive.py machinery).  The standard libjpeg scan script orders
-all first scans before all refinements, so the whole spectral decode of
-a typical progressive file runs on the chip.
+* **AC refinement scans** (Ss>0, Ah>0, single component) — the round-4
+  host-INDEX/device-VALUE split: a C++ pass
+  (runtime.zpix_prog_refine_index) walks the scan's bits maintaining
+  only per-block nonzero masks (seeded by ONE store fetch at the first
+  refinement, then evolved host-side) and emits each block's exact
+  entry bit offset + entry-EOB flag; the device value pass
+  (build_ac_refine_fn) then decodes every block independently,
+  mask-parallel against the resident store.  With it, the ENTIRE
+  standard libjpeg scan script decodes with zero host-tail scans
+  (test_onchip_ac_refine_zero_host_tail).
 
-Why AC refinement does NOT use the speculative-chunk machinery (design
+Why AC refinement cannot use the speculative-chunk machinery (design
 note): its bit consumption is gated on each block's nonzero pattern —
 every nonzero coefficient crossed costs one correction bit, and
 EOB-covered blocks still consume bits.  A speculative lane would need
 its absolute block index to gather the right mask, and a wrong guess
 cannot self-synchronize the way plain Huffman lookahead does (the mask
 gather poisons every subsequent symbol), so fixed-point convergence
-degenerates to one chunk per round — serial.  The parallelizable split
-for round 4 is host INDEX pass (the native C++ scan already walks
-refinement bits; emit per-block offsets) + device value pass (apply
-corrections from known offsets, mask-parallel).
+degenerates to one chunk per round — serial.  Hence the index/value
+split above; the host tail (store fetch + sparse deltas) remains the
+fallback for nonstandard scripts and index-pass errors.
 """
 
 from __future__ import annotations
@@ -770,6 +771,173 @@ def build_ac_first_fn(
     return jax.jit(decode)
 
 
+def build_ac_refine_fn(
+    *, batch: int, nvalid: int, cap: int, cmp: CmpTables, ss: int, se: int,
+    al: int, k_pos: int = None, W: int = None, _raw: bool = False,
+):
+    """AC refinement VALUE pass (Ss>0, Ah>0): one lane per valid block.
+
+    The host C++ INDEX pass (runtime.zpix_prog_refine_index) supplies
+    every block's exact entry bit offset and whether an EOB run covers
+    it at entry, so each lane decodes its own block independently — the
+    speculation-free split designed in the module docstring (AC
+    refinement cannot self-synchronize).  Lanes walk zigzag positions
+    ss..se with the reference's gating (refine_block semantics,
+    decoder.zig:1459-1549): an existing nonzero reads one correction
+    bit; a zero position counts down the current symbol's run and then
+    receives the pending +-1<<Al coefficient; an EOB symbol switches
+    the lane to corrections-only for the band tail.
+
+    Verification: refinement blocks are bit-contiguous (EOB-covered
+    blocks still consume their correction bits), so every lane must end
+    exactly at the host-computed next-block entry offset.
+
+    Input is ONE packed buffer [cap + 12 * L] (stream ++ starts i32 ++
+    ends i32 ++ eob-entry i32, all absolute bit offsets into the
+    stream) plus the current store rows curT [64, L] int32 natural
+    order; returns (deltaT [64, L] int32 natural order, ok).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device_entropy import _DEF_K, _DEF_W
+
+    L = batch * nvalid
+    K = k_pos if k_pos is not None else _DEF_K
+    W = W if W is not None else _DEF_W
+    # worst-case reads per position iteration: 16 (symbol look) + 14
+    # (EOB extra) + 1 (sign) + 1 (correction) — all inside the window
+    off_lim = 32 * W - 80
+    delta = 1 << al
+    mt_one = [True if t == 0 else None for t in range(cmp.ntab)]
+    max_steps = (2 * 64) // max(K, 1) + 24
+
+    inv = np.zeros(64, np.int64)
+    inv[UNZIG] = np.arange(64)
+    invT_np = inv[:, None]  # [64, 1]: natural row -> its zigzag position
+
+    def decode(packed, curT):
+        stream = packed[:cap]
+
+        def le32(off):
+            pb = packed[off : off + 4 * L].reshape(L, 4).astype(jnp.int32)
+            return (pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16)
+                    | (pb[:, 3] << 24))
+
+        starts = le32(cap)
+        ends_expect = le32(cap + 4 * L)
+        eob_entry = le32(cap + 8 * L) > 0
+        win, n = _window(jnp, stream, W)
+        decode_sym = _make_sym_decoder(jnp, cmp)
+        invT = jnp.asarray(invT_np)
+
+        def body(st):
+            (bit_pos, kz, nz, pending, need_sym, in_eob, done, err,
+             deltaT, steps) = st
+            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+            wW = win[byte]
+            w = tuple(wW[:, i] for i in range(W))
+            off0 = (bit_pos & 7).astype(jnp.int32)
+            off = off0
+            emits = []
+            for _ in range(K):
+                active = (~done) & (off <= off_lim)
+                # -- decode the next (run, size) symbol where needed
+                want = active & need_sym & ~in_eob
+                look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+                ln_sel, sym, badh = decode_sym(look16, mt_one)
+                r = sym >> 4
+                s = sym & 15
+                bad = want & (badh | (s > 1))  # refinement size is 0 or 1
+                is_eob = (s == 0) & (r < 15)
+                sign = _bits_at(jnp, w, off + ln_sel, jnp.int32(1))
+                consume = ln_sel + jnp.where(
+                    s == 1, 1, jnp.where(is_eob, jnp.clip(r, 0, 14), 0)
+                )  # EOB extra bits are length-only here (count is host-side)
+                app_sym = want & ~bad
+                off = jnp.where(app_sym, off + consume, off)
+                nz = jnp.where(
+                    app_sym,
+                    jnp.where(s == 0, jnp.where(is_eob, 0, 15), r),
+                    nz,
+                )
+                pending = jnp.where(
+                    app_sym,
+                    jnp.where(
+                        s == 1, jnp.where(sign > 0, delta, -delta), 0
+                    ),
+                    pending,
+                )
+                in_eob = in_eob | (app_sym & is_eob)
+                need_sym = need_sym & ~app_sym
+                err = err | bad
+                done = done | bad
+
+                # -- process zigzag position kz (refine_non_zeroes step)
+                proc = active & (~need_sym | in_eob) & (kz <= se) & ~done
+                coef = jnp.sum(
+                    jnp.where(invT == kz[None, :], curT, 0), axis=0
+                )
+                nzc = coef != 0
+                corr = proc & nzc
+                cb = _bits_at(jnp, w, off, jnp.int32(1))
+                off = jnp.where(corr, off + 1, off)
+                dcorr = jnp.where(
+                    corr & (cb > 0),
+                    jnp.where(coef > 0, delta, -delta),
+                    0,
+                )
+                z_skip = proc & ~nzc & ~in_eob & (nz > 0)
+                z_place = proc & ~nzc & ~in_eob & (nz == 0)
+                nz = jnp.where(z_skip, nz - 1, nz)
+                emits.append((
+                    jnp.clip(kz, 0, 63),
+                    dcorr + jnp.where(z_place, pending, 0),
+                ))
+                pending = jnp.where(z_place, 0, pending)
+                need_sym = need_sym | z_place
+                kz = jnp.where(proc, kz + 1, kz)
+                done = done | (kz > se)
+            deltaT = deltaT + sum(
+                jnp.where(ek[None, :] == invT, ev[None, :], 0)
+                for ek, ev in emits
+            )
+            bit_pos = bit_pos - off0 + off
+            return (bit_pos, kz, nz, pending, need_sym, in_eob, done, err,
+                    deltaT, steps + 1)
+
+        def cond(st):
+            return (jnp.sum(st[6].astype(jnp.int32)) < L) & (
+                st[9] < max_steps
+            )
+
+        st = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                starts,
+                jnp.full(L, ss, jnp.int32),
+                jnp.zeros(L, jnp.int32),
+                jnp.zeros(L, jnp.int32),
+                ~eob_entry,  # eob-covered entries go straight to the tail
+                eob_entry,
+                jnp.zeros(L, bool),
+                jnp.zeros(L, bool),
+                jnp.zeros((64, L), jnp.int32),
+                jnp.int32(0),
+            ),
+        )
+        agree = st[0] == ends_expect
+        ok = jnp.all(st[6]) & ~jnp.any(st[7]) & jnp.all(agree)
+        return st[8], ok
+
+    if _raw:
+        return decode
+    import jax
+
+    return jax.jit(decode)
+
+
 # ------------------------------------------------------------ orchestration
 
 
@@ -1075,6 +1243,139 @@ class OnchipProgressiveDecoder:
 
         return _jnp.asarray(okh)
 
+    def _prep_ac_refine(self, plans, s: int, masks, eob_runs, seeds):
+        """AC refinement scan, HOST half: C++ INDEX pass (bit offsets
+        only) -> packed device buffer + static meta (device half:
+        _apply_ac_refine).
+
+        masks: {(b, c): [nvalid, 64] uint8 zigzag nonzero flags},
+        maintained across refinement scans by the index passes
+        themselves (a new +-1<<Al coefficient sets its flag); seeded
+        lazily per component from the ONE store fetch (``seeds``).
+        eob_runs: per-image EOB-run state carried across refinement
+        scans (reference decoder state; zero entering the first
+        refinement — well-formed first scans never leave a dangling
+        run, which the round-3 host-tail path already assumed).
+
+        Returns a meta dict (packed buffer + kernel statics), or None ->
+        caller falls back to the host tail at this scan."""
+        import ctypes
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import runtime
+
+        lib = runtime.get_lib()
+        if lib is None:
+            return None
+        p0 = plans[0]
+        sc: ScanInfo = p0.scans[s]
+        c = sc.comps[0]
+        vidx = self._valid_idx(p0, c)
+        nvalid = len(vidx)
+        B = len(plans)
+        hc, vc = p0.hv[c]
+        nblk_c = p0.mxx * hc * p0.myy * vc
+        for b in range(B):  # lazy per-component mask seeding
+            if (b, c) not in masks:
+                arr = seeds[c][b].reshape(nblk_c, 64)[vidx]
+                masks[(b, c)] = np.ascontiguousarray(
+                    (arr[:, UNZIG] != 0).astype(np.uint8)
+                )
+        h = sc.huffs[(1, sc.ta[0])]
+        tab = runtime.HuffTableC()
+        tab.min_codes[:] = h.min_codes
+        tab.max_codes[:] = h.max_codes
+        tab.vals_indices[:] = h.vals_indices
+        tab.vals[:] = h.vals
+        tab.num_codes = h.num_codes
+        streams = [np.ascontiguousarray(pl.scans[s].stream) for pl in plans]
+        offs = np.empty((B, nvalid), np.int32)
+        eobs = np.empty((B, nvalid), np.uint8)
+
+        def one(b):
+            st = streams[b]
+            ero = ctypes.c_uint16(0)
+            endb = ctypes.c_int64(0)
+            rc = lib.zpix_prog_refine_index(
+                st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(st), ctypes.byref(tab),
+                masks[(b, c)].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                nvalid, sc.ss, sc.se, np.uint16(eob_runs[b]),
+                offs[b].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                eobs[b].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.byref(ero), ctypes.byref(endb),
+            )
+            return rc, b, ero.value, int(endb.value)
+
+        with ThreadPoolExecutor(
+            max_workers=min(B, _os.cpu_count() or 2)
+        ) as ex:
+            res = list(ex.map(one, range(B)))
+        endbs = [0] * B
+        for rc, b, ero, endb in res:
+            if rc != 0:
+                return None
+            eob_runs[b] = ero
+            endbs[b] = endb
+        ends = np.empty((B, nvalid), np.int32)
+        ends[:, :-1] = offs[:, 1:]
+        ends[:, -1] = endbs
+        # packed form: stream ++ absolute starts ++ ends ++ eob flags.
+        # The caller stacks EVERY refinement scan's packed buffer into
+        # ONE device transfer (the tunnel charges a round trip per put).
+        flat, bstarts, _bends, _F = self._stack_streams(streams)
+        cap = int(flat.shape[0])
+        a_st = (bstarts[:, None] + offs).astype("<i4").reshape(-1)
+        a_en = (bstarts[:, None] + ends).astype("<i4").reshape(-1)
+        a_eo = eobs.astype("<i4").reshape(-1)
+        packed = np.concatenate([
+            flat, a_st.view(np.uint8), a_en.view(np.uint8),
+            a_eo.view(np.uint8),
+        ])
+        return dict(packed=packed, cap=cap, c=c, vidx=vidx,
+                    nvalid=nvalid, huff=h, nblk_c=nblk_c,
+                    ss=sc.ss, se=sc.se, al=sc.al)
+
+    def _apply_ac_refine(self, s, state, sup_dev, row_idx, meta, B, jnp):
+        """Dispatch one refinement scan's device VALUE pass, reading its
+        packed buffer out of the shared [n_scans, capmax] super-upload."""
+        import jax
+
+        sc: ScanInfo = None  # only static meta below is used
+        c = meta["c"]
+        nvalid = meta["nvalid"]
+        nblk_c = meta["nblk_c"]
+        cap = meta["cap"]
+        total_len = cap + 12 * B * nvalid
+        key = ("acr", self._cur_key, s, B, row_idx,
+               int(sup_dev.shape[1]), cap)
+        fn = self._fns.get(key)
+        if fn is None:
+            kern = build_ac_refine_fn(
+                batch=B, nvalid=nvalid, cap=cap,
+                cmp=CmpTables([meta["huff"]]),
+                ss=meta["ss"], se=meta["se"], al=meta["al"],
+                k_pos=self.k2, W=self.W, _raw=True,
+            )
+            vj = jnp.asarray(meta["vidx"].astype(np.int64))
+
+            def update(sup, st_c):
+                pk = sup[row_idx, :total_len]
+                cur = st_c.reshape(B, nblk_c, 64)[:, vj]  # [B, nv, 64]
+                curT = jnp.transpose(cur, (2, 0, 1)).reshape(64, -1)
+                deltaT, okd = kern(pk, curT)
+                d_n = jnp.transpose(
+                    deltaT.reshape(64, B, nvalid), (1, 2, 0)
+                )
+                new = st_c.reshape(B, nblk_c, 64).at[:, vj].add(d_n)
+                return new.reshape(B, nblk_c * 64), okd
+
+            fn = jax.jit(update)
+            self._fns[key] = fn
+        state[c], ok = fn(sup_dev, state[c])
+        return ok
+
     # ---------------- public API
 
     def decode(self, datas: list[bytes]):
@@ -1129,24 +1430,91 @@ class OnchipProgressiveDecoder:
             for c in range(p0.ncomp)
         ]
 
-        # device-decodable PREFIX of the scan script
-        n_prefix = 0
-        for s in p0.scans:
-            if s.kind == "ac_refine":
-                break
-            if s.kind == "ac_first" and len(s.comps) != 1:
-                break
-            n_prefix += 1
-
+        # Device-decodable scans run in script order; AC refinements use
+        # the host INDEX pass + device VALUE pass split, with host-side
+        # masks seeded from ONE store fetch at the first refinement.
+        # Coverage breaks (-> host tail) only on: multi-component
+        # ac_first, an ac_first AFTER a refinement (the host masks would
+        # go stale), a missing native runtime, or an index-pass error.
         ok = jnp.asarray(True)
-        for si in range(n_prefix):
-            kind = p0.scans[si].kind
-            if kind == "dc_first":
+        masks: dict = {}
+        eob_runs = [0] * B
+        ref_seeds = None
+        ref_preps: dict = {}
+        ref_sup = None
+        n_prefix = len(p0.scans)
+        for si in range(len(p0.scans)):
+            s = p0.scans[si]
+            kind = s.kind
+            if kind == "ac_first" and (
+                len(s.comps) != 1 or ref_seeds is not None
+            ):
+                n_prefix = si
+                break
+            if kind == "ac_refine":
+                if len(s.comps) != 1:
+                    n_prefix = si
+                    break
+                if ref_seeds is None:
+                    # First refinement: (a) ONE store fetch seeds the
+                    # host-side masks — only nonzero FLAGS travel (a
+                    # device-side packbits shrinks the D2H transfer
+                    # 32x; the tunnel's D2H runs ~20 MB/s after the
+                    # first big execution); (b) ALL remaining
+                    # refinement scans' host index passes run now
+                    # (they depend only on the host masks) and their
+                    # packed buffers ship in ONE device transfer.
+                    import jax as _jx
+
+                    pkf = self._recon_fns.get("_packbits")
+                    if pkf is None:
+                        pkf = _jx.jit(
+                            lambda st: jnp.packbits(st != 0, axis=1)
+                        )
+                        self._recon_fns["_packbits"] = pkf
+                    ref_seeds = [
+                        np.unpackbits(
+                            np.asarray(pkf(state[c])), axis=1
+                        )[:, : int(state[c].shape[1])].reshape(B, -1, 64)
+                        for c in range(p0.ncomp)
+                    ]
+                    ref_preps = {}
+                    rows = []
+                    for sj in range(si, len(p0.scans)):
+                        sc2 = p0.scans[sj]
+                        if sc2.kind == "ac_first":
+                            break  # coverage guard (also checked above)
+                        if sc2.kind != "ac_refine":
+                            continue
+                        if len(sc2.comps) != 1:
+                            break
+                        meta = self._prep_ac_refine(
+                            plans, sj, masks, eob_runs, ref_seeds
+                        )
+                        if meta is None:
+                            break
+                        ref_preps[sj] = (len(rows), meta)
+                        rows.append(meta["packed"])
+                    if rows:
+                        capmax = max(r.shape[0] for r in rows)
+                        sup = np.zeros((len(rows), capmax), np.uint8)
+                        for i, r in enumerate(rows):
+                            sup[i, : r.shape[0]] = r
+                        ref_sup = _jx.device_put(sup)
+                if si not in ref_preps:
+                    n_prefix = si
+                    break
+                ri, meta = ref_preps[si]
+                ok = ok & self._apply_ac_refine(
+                    si, state, ref_sup, ri, meta, B, jnp
+                )
+            elif kind == "dc_first":
                 ok = ok & self._run_dc_first(plans, si, state, jnp)
             elif kind == "ac_first":
                 ok = ok & self._run_ac_first(plans, si, state, jnp)
             else:
                 ok = ok & self._run_dc_refine(plans, si, state, jnp)
+        self.n_host_tail_scans = len(p0.scans) - n_prefix
 
         if n_prefix < len(p0.scans):
             # host tail: ONE store fetch seeds the refinement decode;

@@ -77,6 +77,21 @@ def _pick_groups(plan: "QoiPlan", ops_cap: int | None,
     return g
 
 
+def _adaptive_chunk(stream_bytes: int) -> int:
+    """Default chunk size scaled to the stream: keep chunks-per-image
+    ~<= 1500 so (a) per-round lane work stays bounded and (b) the
+    fixed point's rare cross-chunk index chains stay short — measured
+    2026-08-21: 512-byte chunks converge fine on ~700 KB streams but
+    a 2.9 MB stream (5728 chunks) ran its sync rounds for >25 min,
+    while 2048-byte chunks keep megapixel images tractable."""
+    if os.environ.get("ZPIX_QOI_CHUNK"):
+        return _DEF_CHUNK
+    cb = _DEF_CHUNK
+    while stream_bytes // cb > 1500 and cb < 65536:
+        cb *= 2
+    return cb
+
+
 @dataclass
 class QoiPlan:
     """Host-side prep of a same-dimensions QOI batch."""
@@ -99,7 +114,7 @@ def prep_qoi_batch(datas: list[bytes], chunk_bytes: int | None = None,
     see device_entropy.prep_batch)."""
     if not datas:
         raise ValueError("qoi: empty batch")
-    cb = chunk_bytes or _DEF_CHUNK
+    cb = chunk_bytes or _adaptive_chunk(max(len(d) for d in datas))
     dims = None
     regions = []
     for d in datas:
@@ -145,7 +160,8 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
                         mesh=None, ops_cap: int | None = None,
                         win_words: int | None = None,
                         record_groups: int | None = None,
-                        carry_mb: float | None = None):
+                        carry_mb: float | None = None,
+                        _stage: str = "full"):
     """Returns a jitted fn: (stream, img_byte_start, img_byte_end,
     img_raw_end) -> (rgba [B, H, W, 4] uint8, ok flag).
 
@@ -164,7 +180,7 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
     import jax
     import jax.numpy as jnp
 
-    from .device_entropy import _bits_at, _make_window_fetch
+    from .device_entropy import _bits_at
 
     lane_sh = lane2_sh = out_sh = None
     if mesh is not None:
@@ -212,19 +228,35 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
 
     PX0 = np.uint32(0x000000FF)  # r=g=b=0, a=255 (decoder.zig:60-62)
 
-    def decode(stream, img_byte_start, img_byte_end, img_raw_end):
+    def decode_impl(stage, stream, img_byte_start, img_byte_end,
+                    img_raw_end, e_pos=None, e_px=None, e_idx=None):
         u32 = jnp.uint32
         i32 = jnp.int32
         s = stream.astype(u32)
-        n = stream.shape[0] - 4 * W
-        bts = [s[i : n + i] for i in range(4 * W)]
-        words = [
-            (bts[4 * j] << 24) | (bts[4 * j + 1] << 16)
-            | (bts[4 * j + 2] << 8) | bts[4 * j + 3]
-            for j in range(W)
-        ]
-        win = jnp.stack(words, axis=-1)  # [n, W] big-endian words
-        fetch = _make_window_fetch(win)
+        # The JPEG-style per-byte-offset window table ([cap, W] u32)
+        # would be W*4x the stream — 5 GB at QOI stream sizes (the
+        # round-3 "kernel fault" class).  QOI positions are BYTE
+        # aligned, so instead keep one 4-byte-aligned big-endian word
+        # array (cap bytes total) and per step gather [L, W+1]
+        # consecutive words + rotate by (byte & 3) per lane.
+        n4 = stream.shape[0] // 4
+        al4 = (
+            (s[0 : 4 * n4 : 4] << 24) | (s[1 : 4 * n4 : 4] << 16)
+            | (s[2 : 4 * n4 : 4] << 8) | s[3 : 4 * n4 : 4]
+        )
+        n = 4 * (n4 - (W + 2))  # max safe byte index for a window read
+        warange = jnp.arange(W + 1)
+
+        def fetch(byte):
+            wi = byte >> 2
+            w4 = al4[wi[:, None] + warange[None, :]]  # [L, W+1]
+            sh = ((byte & 3) * 8).astype(u32)[:, None]
+            lo = w4[:, :-1] << sh
+            hi = jnp.where(
+                sh > 0, w4[:, 1:] >> (u32(32) - sh), u32(0)
+            )
+            w = lo | hi
+            return tuple(w[:, j] for j in range(W))
 
         img_start = img_byte_start.astype(i32)
         img_end = img_byte_end.astype(i32)
@@ -384,6 +416,8 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
             _lane(jnp.full(L, PX0, u32)),
             _lane2(jnp.zeros((64, L), u32)),
         )
+        if stage == "init":
+            return guess
 
         def shift(exits):
             """entries[i] := exits[i-1] within each image."""
@@ -410,11 +444,32 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
                 chg = chg | jnp.any(aa != bb)
             return (new_entries, chg, rounds + 1)
 
-        st = ((guess), jnp.ones((), bool), jnp.int32(0))
-        st = jax.lax.while_loop(
-            lambda s: s[1] & (s[2] < rounds_cap), sync_round, st
-        )
-        entries = st[0]
+        if stage == "sync_block":
+            # Bounded-round block for the HOST-orchestrated fixed point:
+            # one long-running program kernel-faults the tunneled worker
+            # (measured this round: the 16x512^2 sync rounds alone fault
+            # it while 16x256^2 completes), so the driver dispatches
+            # <= R_BLOCK rounds at a time and early-exits on the fetched
+            # convergence flag.
+            st = ((e_pos, e_px, e_idx), jnp.ones((), bool), jnp.int32(0))
+            st = jax.lax.while_loop(
+                lambda s: s[1] & (s[2] < R_BLOCK), sync_round, st
+            )
+            (p_, x_, i_), chg, _ = st
+            return p_, x_, i_, chg
+
+        if stage == "finish":
+            entries = (e_pos, e_px, e_idx)
+        else:
+            st = ((guess), jnp.ones((), bool), jnp.int32(0))
+            st = jax.lax.while_loop(
+                lambda s: s[1] & (s[2] < rounds_cap), sync_round, st
+            )
+            entries = st[0]
+
+        if stage == "sync":  # debug: fixed-point rounds only
+            return (jnp.sum(entries[0].astype(jnp.uint32))
+                    + jnp.sum(entries[1])), jnp.asarray(True)
 
         # ---- record scan from converged entries, in GROUPS lane groups
         # (each group's [mcap, Lg] records are the only big while carry;
@@ -432,6 +487,10 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
         cnts = jnp.concatenate(cnts_p, axis=1)
         scan_ok = (jnp.all(jnp.concatenate(done_p))
                    & ~jnp.any(jnp.concatenate(err_p)))
+        if stage == "scan":  # debug: scan only (crash bisection probe)
+            return (jnp.sum(cols, dtype=jnp.uint32)
+                    + jnp.sum(cnts.astype(jnp.int32)).astype(jnp.uint32)), \
+                scan_ok
         # decoder px at stream end (last chunk lane of each image)
         fill_px = jnp.concatenate(px_p).reshape(B, F)[:, -1]
 
@@ -466,11 +525,44 @@ def build_qoi_decode_fn(plan: QoiPlan, *, k_ops: int | None = None,
         ).reshape(B, plan.height, plan.width, 4)
         return _b(rgba), scan_ok
 
-    if _raw:
-        return decode
-    import jax
+    from functools import partial
 
-    return jax.jit(decode)
+    R_BLOCK = int(os.environ.get("ZPIX_QOI_ROUNDS_PER_CALL", "4"))
+
+    if _raw:
+        return partial(decode_impl, _stage)
+    if mesh is not None or _stage != "full" or os.environ.get(
+        "ZPIX_QOI_ONESHOT", "0"
+    ) == "1":
+        # single-program form: CPU-mesh tests, debug stages, sharded path
+        return jax.jit(partial(decode_impl, _stage))
+
+    # Host-orchestrated form (single-device default): the fixed point
+    # runs as bounded-round dispatches with a host early-exit on the
+    # convergence flag, then the record scan + assembly dispatch once.
+    # Bounds every program's runtime (the tunneled worker kernel-faults
+    # on long-running programs) at the cost of one small D2H fetch per
+    # R_BLOCK rounds.
+    init_jit = jax.jit(partial(decode_impl, "init"))
+    sync_jit = jax.jit(partial(decode_impl, "sync_block"))
+    finish_jit = jax.jit(partial(decode_impl, "finish"))
+
+    def orchestrated(stream, img_byte_start, img_byte_end, img_raw_end):
+        args = (stream, img_byte_start, img_byte_end, img_raw_end)
+        e = init_jit(*args)
+        total = 0
+        chg = True
+        while chg and total < rounds_cap:
+            p_, x_, i_, chgd = sync_jit(*args, *e)
+            e = (p_, x_, i_)
+            total += R_BLOCK
+            chg = bool(chgd)
+        rgba, ok = finish_jit(*args, *e)
+        if chg:  # rounds exhausted without convergence (cannot happen
+            ok = ok & False  # for <= F rounds; exactness guard anyway)
+        return rgba, ok
+
+    return orchestrated
 
 
 class BatchQoiDecoder:

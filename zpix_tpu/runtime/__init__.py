@@ -25,7 +25,7 @@ _SRCS = [
     os.path.join(_HERE, "inflate.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 13
+_ABI_VERSION = 14
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -204,6 +204,33 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int64),  # pos_out
                 ctypes.POINTER(ctypes.c_int32),  # bits_n_out
                 ctypes.POINTER(ctypes.c_int32),  # num_unreadable_out
+            ]
+            lib.zpix_prog_refine_index.restype = ctypes.c_int
+            lib.zpix_prog_refine_index.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),  # destuffed scan bytes
+                ctypes.c_int64,  # nbytes
+                ctypes.POINTER(HuffTableC),  # ac table
+                ctypes.POINTER(ctypes.c_uint8),  # nzmask [nblk*64] zigzag
+                ctypes.c_int64,  # nblk
+                ctypes.c_int32,  # zig_start
+                ctypes.c_int32,  # zig_end
+                ctypes.c_uint16,  # eob_run_in
+                ctypes.POINTER(ctypes.c_int32),  # block_bit_off out
+                ctypes.POINTER(ctypes.c_uint8),  # block_eob_entry out
+                ctypes.POINTER(ctypes.c_uint16),  # eob_run_out
+                ctypes.POINTER(ctypes.c_int64),  # end_bit_out
+            ]
+            lib.zpix_baseline_index_scan.restype = ctypes.c_int
+            lib.zpix_baseline_index_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),  # destuffed scan bytes
+                ctypes.c_int64,  # nbytes
+                ctypes.POINTER(HuffTableC),  # huff[8]
+                ctypes.POINTER(ctypes.c_int32),  # slot_dc [bpm]
+                ctypes.POINTER(ctypes.c_int32),  # slot_ac [bpm]
+                ctypes.c_int32,  # bpm
+                ctypes.c_int64,  # n_mcu
+                ctypes.POINTER(ctypes.c_int32),  # ends_out
+                ctypes.POINTER(ctypes.c_int64),  # end_bit_out
             ]
             lib.zpix_inflate_tokens.restype = ctypes.c_int64
             lib.zpix_inflate_tokens.argtypes = [

@@ -1264,6 +1264,190 @@ extern "C" int zpix_parse_baseline_batch(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 13; }
+// ---------------------------------------------------------------------
+// Progressive AC-refinement INDEX pass (the round-4 host/device split).
+//
+// AC refinement bit consumption is gated on each block's accumulated
+// nonzero pattern, so speculative chunk lanes cannot self-synchronize
+// (progressive_onchip.py design note).  This pass walks one DESTUFFED
+// refinement scan maintaining ONLY the per-block zigzag nonzero masks
+// — no coefficient values — and emits each block's absolute entry bit
+// offset plus whether an EOB run covers it at entry.  The device value
+// pass then re-decodes every block independently (mask-parallel) from
+// those exact offsets against the device-resident store.
+//
+// Reference semantics: refine_block/refine_non_zeroes above
+// (decoder.zig:1459-1549).  The bit reader is plain MSB-first because
+// the caller already destuffed the scan (_destuff_scan).
+int zpix_prog_refine_index(
+    const uint8_t* stream, int64_t nbytes,
+    const HuffTable* ac,      // canonical fields only (no LUT needed)
+    uint8_t* nzmask,          // [nblk * 64] zigzag-order nonzero flags, in/out
+    int64_t nblk,
+    int32_t zig_start, int32_t zig_end,
+    uint16_t eob_run_in,
+    int32_t* block_bit_off,   // out [nblk]: absolute entry bit offset
+    uint8_t* block_eob_entry, // out [nblk]: 1 = EOB run covers entry
+    uint16_t* eob_run_out, int64_t* end_bit_out) {
+  const int64_t nbits = nbytes * 8;
+  int64_t bit = 0;
+  uint32_t eob_run = eob_run_in;
+  int err = OK;
+  auto get1 = [&]() -> int {
+    if (bit >= nbits) {
+      err = ERR_EOF;
+      return 0;
+    }
+    int b = (stream[bit >> 3] >> (7 - (bit & 7))) & 1;
+    bit++;
+    return b;
+  };
+  auto huff = [&]() -> int {
+    int32_t code = 0;
+    for (int i = 0; i < kMaxCodeLength; i++) {
+      code = (code << 1) | get1();
+      if (err) return 0;
+      if (ac->max_codes[i] >= 0 && code <= ac->max_codes[i])
+        return ac->vals[ac->vals_indices[i] + code - ac->min_codes[i]];
+    }
+    err = ERR_BAD_HUFFMAN;
+    return 0;
+  };
+
+  for (int64_t bi = 0; bi < nblk; bi++) {
+    block_bit_off[bi] = int32_t(bit);
+    block_eob_entry[bi] = eob_run > 0 ? 1 : 0;
+    uint8_t* m = nzmask + bi * 64;
+    int32_t zig = zig_start;
+    if (eob_run == 0) {
+      while (zig <= zig_end) {
+        int value = huff();
+        if (err) return err;
+        int r = value >> 4, s = value & 0x0F;
+        int newnz = 0;
+        if (s == 0) {
+          if (r != 0x0F) {
+            eob_run = 1u << r;
+            if (r) {
+              uint32_t extra = 0;
+              for (int t = 0; t < r; t++) extra = (extra << 1) | get1();
+              if (err) return err;
+              eob_run += extra;
+            }
+            break;
+          }
+          // ZRL: r = 15 zeros crossed + the stop slot (z stays 0)
+        } else if (s == 1) {
+          get1();  // sign bit of the new +-1<<Al coefficient
+          if (err) return err;
+          newnz = 1;
+        } else {
+          return ERR_UNEXPECTED_CODE;
+        }
+        int nz = r;
+        while (zig <= zig_end) {  // refine_non_zeroes, lengths only
+          if (m[zig]) {
+            get1();  // correction bit of an existing nonzero
+            if (err) return err;
+          } else {
+            if (nz == 0) break;
+            nz--;
+          }
+          zig++;
+        }
+        if (zig > zig_end) return ERR_TOO_MANY_COEFFS;
+        if (newnz) m[zig] = 1;
+        zig++;
+      }
+    }
+    if (eob_run > 0) {
+      eob_run--;
+      while (zig <= zig_end) {  // band tail: corrections only
+        if (m[zig]) {
+          get1();
+          if (err) return err;
+        }
+        zig++;
+      }
+    }
+  }
+  *eob_run_out = uint16_t(eob_run);
+  *end_bit_out = bit;
+  return OK;
+}
+
+// ---------------------------------------------------------------------
+// Baseline INDEX scan for restart-free streams (round-4 sync split).
+//
+// Speculative chunk self-sync provably converges one chunk per round on
+// interleaved restart-free baseline JPEG (RESULTS.md round-3 profile),
+// so the fast path is this host pass: walk the DESTUFFED scan decoding
+// symbol LENGTHS only (extend bits skipped, no coefficient writes) and
+// emit every 8x8 block's end bit offset; the device value pass
+// (device_entropy._value_pass) then decodes all blocks in parallel
+// from those exact offsets.  Length semantics mirror the device index
+// pass EXACTLY (consume = code_len + size even past k=63; ZRL may end
+// a block when k+16 > 63) so the device's pass-2 `agree` verification
+// holds bit-for-bit.
+//
+// stream must be zero-padded by >= 8 readable bytes past nbytes (the
+// device window reads zeros past the stream the same way).
+int zpix_baseline_index_scan(
+    const uint8_t* stream, int64_t nbytes,
+    const HuffTable* huff,  // [8]: dc tables 0..3, ac tables 4..7
+    const int32_t* slot_dc, const int32_t* slot_ac, int32_t bpm,
+    int64_t n_mcu,
+    int32_t* ends_out,  // [n_mcu * bpm] per-block end bit offsets
+    int64_t* end_bit_out) {
+  for (int32_t s = 0; s < bpm; s++) {
+    ensure_lut16(const_cast<HuffTable*>(&huff[slot_dc[s]]));
+    ensure_lut16(const_cast<HuffTable*>(&huff[4 + slot_ac[s]]));
+  }
+  const int64_t nbits = nbytes * 8;
+  int64_t bit = 0;
+  auto peek16 = [&]() -> uint32_t {
+    const int64_t byte = bit >> 3;
+    const uint32_t w = (uint32_t(stream[byte]) << 24)
+        | (uint32_t(stream[byte + 1]) << 16)
+        | (uint32_t(stream[byte + 2]) << 8) | uint32_t(stream[byte + 3]);
+    return (w >> (16 - (bit & 7))) & 0xFFFF;
+  };
+  int64_t t = 0;
+  for (int64_t m = 0; m < n_mcu; m++) {
+    for (int32_t s = 0; s < bpm; s++) {
+      if (bit >= nbits + 512) return ERR_EOF;  // runaway (corrupt stream)
+      const HuffTable* hd = &huff[slot_dc[s]];
+      uint16_t e = hd->lut16[peek16()];
+      if (!e) return ERR_BAD_HUFFMAN;
+      int val = e >> 5;
+      if (val > 16) return ERR_EXCESSIVE_DC;
+      bit += (e & 31) + val;  // DC code + skipped extend bits
+      int k = 1;
+      const HuffTable* ha = &huff[4 + slot_ac[s]];
+      while (true) {
+        uint16_t ea = ha->lut16[peek16()];
+        if (!ea) return ERR_BAD_HUFFMAN;
+        int sym = ea >> 5;
+        int r = sym >> 4, sz = sym & 15;
+        bit += (ea & 31) + sz;
+        if (sz) {
+          int ek = k + r;
+          if (ek > 63) ek = 63;
+          k = ek + 1;
+        } else if (r == 15) {
+          k += 16;
+        } else {
+          break;  // EOB
+        }
+        if (k > 63) break;
+      }
+      ends_out[t++] = int32_t(bit);
+    }
+  }
+  *end_bit_out = bit;
+  return OK;
+}
+
+int zpix_entropy_abi_version() { return 14; }
 
 }  // extern "C"
