@@ -198,3 +198,93 @@ def test_encode_device_edge_sizes():
         got = encode_device(img, d)
         assert got == encode(img, d), f"case {i}"
         assert np.array_equal(host_decode(got).pix, img), f"case {i}"
+
+
+# ---------------------------------------------------------------------------
+# Host-index / device-expansion split (round 4): C++ record pass +
+# device run-length expansion.  Exact by construction; these tests pin
+# the record-pass semantics (native vs Python differential), the
+# expansion graph, and the stream-exhausted fill.
+# ---------------------------------------------------------------------------
+
+
+def test_hostindex_qoi_parity():
+    from zpix_tpu.parallel.qoi_batch import HostIndexQoiDecoder
+
+    datas = [_enc(i) for i in _images()]
+    out = np.asarray(HostIndexQoiDecoder().decode(datas))
+    for i, d in enumerate(datas):
+        assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"
+
+
+def test_hostindex_record_scan_native_vs_python():
+    """The C++ and Python record scans must agree field-for-field
+    (same rule as the JPEG native-vs-python scan differential)."""
+    from zpix_tpu import runtime
+    from zpix_tpu.parallel.qoi_batch import (
+        _record_scan_native,
+        _record_scan_py,
+    )
+
+    lib = runtime.get_lib()
+    if lib is None or not hasattr(lib, "zpix_qoi_record_scan"):
+        pytest.skip("native runtime unavailable")
+    for img in _images():
+        data = _enc(img)
+        npx = img.shape[0] * img.shape[1]
+        cn, nn, fn = _record_scan_native(data, npx)
+        cp, np_, fp = _record_scan_py(data, npx)
+        assert np.array_equal(cn, cp)
+        assert np.array_equal(nn, np_)
+        assert fn == fp
+
+
+def test_hostindex_qoi_truncated_fill():
+    """Stream exhausts early -> remaining pixels replicate the final
+    decoder px (decoder.zig:67-69), applied as the device fill color."""
+    from zpix_tpu.parallel.qoi_batch import HostIndexQoiDecoder
+
+    data = _enc(_images()[3])
+    t = data[: len(data) // 2] + b"\x00" * 8
+    ref = host_decode(t).pix
+    out = np.asarray(HostIndexQoiDecoder().decode([t]))
+    assert np.array_equal(out[0], ref)
+
+
+def test_hostindex_qoi_run_clip_at_pixel_count():
+    """A RUN op crossing pixel_count is clipped exactly (the reference's
+    per-pixel loop just stops; record counts must not overrun)."""
+    from zpix_tpu.parallel.qoi_batch import HostIndexQoiDecoder
+
+    img = np.full((6, 11, 4), 200, np.uint8)  # 66 px: 62-run + 4-run
+    data = _enc(img)
+    out = np.asarray(HostIndexQoiDecoder().decode([data]))
+    assert np.array_equal(out[0], host_decode(data).pix)
+
+
+def test_hostindex_qoi_shared_layout_cache():
+    """Different batches reuse one compiled expansion program when the
+    record cap buckets to the same layout."""
+    from zpix_tpu.parallel.qoi_batch import HostIndexQoiDecoder
+
+    dec = HostIndexQoiDecoder()
+    imgs = _images()
+    _ = dec.decode([_enc(imgs[0]), _enc(imgs[1])])
+    _ = dec.decode([_enc(imgs[2]), _enc(imgs[3])])
+    assert len(dec._fns) == 1, "layout bucketing failed to share programs"
+
+
+def test_hostindex_qoi_sharded_parity():
+    import jax
+
+    from zpix_tpu.parallel.mesh import make_mesh
+    from zpix_tpu.parallel.qoi_batch import HostIndexQoiDecoder
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    imgs = _images()
+    datas = [_enc(imgs[i % len(imgs)]) for i in range(8)]
+    mesh = make_mesh(jax.devices()[:8], batch=8, stripe=1)
+    out = np.asarray(HostIndexQoiDecoder(mesh=mesh).decode(datas))
+    for i, d in enumerate(datas):
+        assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"

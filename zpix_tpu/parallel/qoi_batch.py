@@ -659,6 +659,245 @@ class BatchQoiDecoder:
 
 
 # ---------------------------------------------------------------------------
+# Host-index / device-expansion split (round 4) — the QOI analog of the
+# restart-free JPEG HostIndexJpegDecoder (device_entropy).
+#
+# The speculative fixed point above is exact but converges too slowly at
+# production scale: a rolling-index slot written once early in the stream
+# propagates through downstream chunk lanes ONE ROUND each (measured
+# 2026-08-21, bench_logs/r4_qoi_converge.log: 16x1024^2 at chunk=512 still
+# changing after 64 rounds x ~0.8 s).  QOI's serial byte walk is O(ops)
+# scalar work — exactly what the 2-core host does at memory speed and the
+# VPU does not — while the O(pixels) run expansion is pure vector work.
+# So: host C++ pass (runtime/qoi.cpp::zpix_qoi_record_scan) emits per-op
+# (packed RGBA, count<=62) records; the device expands records into the
+# raster with one cumsum + searchsorted per image.  Ships O(ops) bytes
+# (<= 5 B/op vs 4 B/px raster; far less on run-heavy content).
+# Reference serial loop: /root/reference/src/qoi/decoder.zig:20-130.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class QoiRecordPlan:
+    """Host record pass over a same-dimensions QOI batch."""
+
+    width: int
+    height: int
+    cols: np.ndarray  # [B, rcap] uint32 packed 0xRRGGBBAA
+    cnts: np.ndarray  # [B, rcap] uint8, 0 past each image's records
+    fill: np.ndarray  # [B] uint32 final decoder px (stream-exhausted fill)
+    batch: int
+    rcap: int
+
+
+def _record_scan_py(data: bytes, pixel_count: int):
+    """Pure-Python twin of zpix_qoi_record_scan (ZPIX_NATIVE=0 path)."""
+    from ..codecs.qoi.decode import QOI_HEADER_SIZE, QOI_PADDING_SIZE
+
+    p = QOI_HEADER_SIZE
+    chunks_len = len(data) - QOI_PADDING_SIZE
+    index = [0] * 64
+    px = 0x000000FF
+    cols, cnts = [], []
+    total = 0
+    while total < pixel_count and p < chunks_len:
+        b1 = data[p]
+        p += 1
+        cnt = 1
+        if b1 == 0xFE:
+            px = (data[p] << 24) | (data[p + 1] << 16) | (data[p + 2] << 8) \
+                | (px & 0xFF)
+            p += 3
+        elif b1 == 0xFF:
+            px = (data[p] << 24) | (data[p + 1] << 16) | (data[p + 2] << 8) \
+                | data[p + 3]
+            p += 4
+        else:
+            tag = b1 & 0xC0
+            if tag == 0x00:
+                px = index[b1 & 0x3F]
+            elif tag == 0x40:
+                r = ((px >> 24) + ((b1 >> 4) & 3) - 2) & 0xFF
+                g = (((px >> 16) & 0xFF) + ((b1 >> 2) & 3) - 2) & 0xFF
+                b = (((px >> 8) & 0xFF) + (b1 & 3) - 2) & 0xFF
+                px = (r << 24) | (g << 16) | (b << 8) | (px & 0xFF)
+            elif tag == 0x80:
+                b2 = data[p]
+                p += 1
+                dg = (b1 & 0x3F) - 32
+                r = ((px >> 24) + dg + ((b2 >> 4) & 0xF) - 8) & 0xFF
+                g = (((px >> 16) & 0xFF) + dg) & 0xFF
+                b = (((px >> 8) & 0xFF) + dg + (b2 & 0xF) - 8) & 0xFF
+                px = (r << 24) | (g << 16) | (b << 8) | (px & 0xFF)
+            else:
+                cnt = (b1 & 0x3F) + 1
+        h = (((px >> 24) * 3 + ((px >> 16) & 0xFF) * 5
+              + ((px >> 8) & 0xFF) * 7 + (px & 0xFF) * 11) & 63)
+        index[h] = px
+        cnt = min(cnt, pixel_count - total)
+        cols.append(px)
+        cnts.append(cnt)
+        total += cnt
+    return (np.array(cols, np.uint32), np.array(cnts, np.uint8),
+            np.uint32(px))
+
+
+def _record_scan_native(data: bytes, pixel_count: int):
+    import ctypes
+
+    from .. import runtime
+
+    lib = runtime.get_lib()
+    rcap = max(1, len(data))  # one op is >= 1 byte
+    cols = np.empty(rcap, np.uint32)
+    cnts = np.empty(rcap, np.uint8)
+    n_out = ctypes.c_int64()
+    fill = ctypes.c_uint32()
+    rc = lib.zpix_qoi_record_scan(
+        data, len(data), pixel_count,
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rcap, ctypes.byref(n_out), ctypes.byref(fill),
+    )
+    if rc != 0:
+        raise FormatError(f"qoi: record scan failed (rc={rc})")
+    n = n_out.value
+    return cols[:n], cnts[:n], np.uint32(fill.value)
+
+
+def prep_qoi_records(datas: list[bytes], rcap_hint: int | None = None
+                     ) -> QoiRecordPlan:
+    """Host record pass (threaded across the batch).  rcap pads to the
+    next 64Ki multiple (>= rcap_hint) so step batches share one compiled
+    expansion program."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import runtime
+
+    if not datas:
+        raise ValueError("qoi: empty batch")
+    w, h, _c, _cs = _parse_header(datas[0])
+    npx = w * h
+    for d in datas[1:]:
+        w2, h2, _c2, _cs2 = _parse_header(d)
+        if (w2, h2) != (w, h):
+            raise UnsupportedError("qoi: mixed dimensions in batch")
+
+    native = runtime.get_lib() is not None and hasattr(
+        runtime.get_lib(), "zpix_qoi_record_scan")
+    scan = _record_scan_native if native else _record_scan_py
+    with ThreadPoolExecutor(
+        max_workers=min(len(datas), _os.cpu_count() or 2)
+    ) as ex:
+        parts = list(ex.map(lambda d: scan(d, npx), datas))
+
+    need = max(p[0].shape[0] for p in parts)
+    rcap = max(need, rcap_hint or 0, 1)
+    rcap = -(-rcap // 65536) * 65536  # 64Ki buckets: shared layouts
+    B = len(datas)
+    cols = np.zeros((B, rcap), np.uint32)
+    cnts = np.zeros((B, rcap), np.uint8)
+    fill = np.empty(B, np.uint32)
+    for i, (c, n, f) in enumerate(parts):
+        cols[i, : c.shape[0]] = c
+        cnts[i, : n.shape[0]] = n
+        fill[i] = f
+    return QoiRecordPlan(w, h, cols, cnts, fill, B, rcap)
+
+
+def build_qoi_expand_fn(plan: QoiRecordPlan, mesh=None):
+    """jit fn(cols [B,rcap] u32, cnts [B,rcap] u8, fill [B] u32) ->
+    rgba [B,H,W,4] uint8: per-image count cumsum + one searchsorted
+    run-length expansion (the assembly stage of the speculative path,
+    fed by exact host records instead of a device record scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    npx = plan.width * plan.height
+    bsh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = NamedSharding(mesh, P("batch"))
+
+    def _b(x):
+        if bsh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, bsh)
+
+    def expand_one(cum_b, cols_b, total_b, fill_b):
+        gpix = jnp.arange(npx)
+        op = jnp.searchsorted(cum_b, gpix, side="right")
+        c = cols_b[jnp.clip(op, 0, cols_b.shape[0] - 1)]
+        return jnp.where(gpix < total_b, c, fill_b)
+
+    def fn(cols, cnts, fill):
+        cum = jnp.cumsum(cnts.astype(jnp.int32), axis=1)
+        total = cum[:, -1]
+        cum, cols, total, fill = _b(cum), _b(cols), _b(total), _b(fill)
+        packed = jax.vmap(expand_one)(cum, cols, total, fill)
+        rgba = jnp.stack(
+            [
+                (packed >> 24).astype(jnp.uint8),
+                ((packed >> 16) & 0xFF).astype(jnp.uint8),
+                ((packed >> 8) & 0xFF).astype(jnp.uint8),
+                (packed & 0xFF).astype(jnp.uint8),
+            ],
+            axis=-1,
+        ).reshape(cols.shape[0], plan.height, plan.width, 4)
+        return _b(rgba)
+
+    return jax.jit(fn)
+
+
+class HostIndexQoiDecoder:
+    """QOI decode via host C++ record pass + device run-length expansion.
+
+    The production fast path for QOI batches (the speculative chip
+    scan remains the full-chip-residency option — see the section
+    comment above for the measured convergence wall).  decode() returns
+    a device [B, H, W, 4] uint8 raster; exactness is by construction
+    (the host pass IS the serial reference semantics), so there is no
+    ok flag."""
+
+    def __init__(self, *, mesh=None):
+        self.mesh = mesh
+        self._fns: dict = {}
+        self._rcap_hint = 0
+
+    def decode(self, datas: list[bytes], plan: QoiRecordPlan | None = None):
+        import jax
+
+        from ..utils import metrics, trace
+
+        with trace("qoi_hostindex.prep"):
+            if plan is None:
+                plan = prep_qoi_records(datas, self._rcap_hint or None)
+        self._rcap_hint = max(self._rcap_hint, plan.rcap)
+        metrics.count("qoi_hostindex.images", plan.batch)
+        key = (plan.width, plan.height, plan.batch, plan.rcap)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = build_qoi_expand_fn(plan, mesh=self.mesh)
+            self._fns[key] = fn
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = NamedSharding(self.mesh, P("batch"))
+            return fn(
+                jax.device_put(plan.cols, bsh),
+                jax.device_put(plan.cnts, bsh),
+                jax.device_put(plan.fill, bsh),
+            )
+        return fn(
+            jax.device_put(plan.cols),
+            jax.device_put(plan.cnts),
+            jax.device_put(plan.fill),
+        )
+
+
+# ---------------------------------------------------------------------------
 # On-device QOI ENCODE — the jnp twin of codecs/qoi/encode_vec.py.
 #
 # Same derivation (see that module's docstring for the proofs): runs are

@@ -90,6 +90,95 @@ int zpix_qoi_decode(const uint8_t* data, int64_t len, int64_t pixel_count,
   return 0;
 }
 
+// Host INDEX pass for the QOI host-index/device-expansion split (round 4).
+//
+// The speculative on-chip fixed point provably converges too slowly at
+// production scale: a rolling-index slot written once early in the stream
+// must propagate through every downstream chunk lane one round at a time
+// (measured 2026-08-21: 16x1024^2 at chunk=512 is still changing after 64
+// rounds of ~0.8 s each).  Like the restart-free JPEG split
+// (zpix_baseline_index_scan), the serial byte walk belongs on the host
+// scalar core: one pass over the op stream emits per-op (packed RGBA,
+// emitted-pixel-count) records — O(ops) work and O(ops) bytes shipped,
+// where ops <= pixels (QOI's run/index/diff ops cover up to 62 px in 1
+// byte) — and the device expands records into the O(pixels) raster.
+// Semantics per /root/reference/src/qoi/decoder.zig:20-130: run counts are
+// (b1&63)+1, the index updates after EVERY op, and a stream that exhausts
+// before pixel_count leaves the tail replicating the final px
+// (decoder.zig:67-69), which the device applies as a fill color.
+//
+// cols_out[i] = R<<24|G<<16|B<<8|A (the device assembly's packed layout),
+// cnts_out[i] in [1,62].  Records past pixel_count are clipped.  Returns
+// 0 ok / 1 short stream / 2 truncated op / 3 rcap overflow; *n_out =
+// records written, *fill_out = final decoder px.
+int zpix_qoi_record_scan(const uint8_t* data, int64_t len,
+                         int64_t pixel_count, uint32_t* cols_out,
+                         uint8_t* cnts_out, int64_t rcap, int64_t* n_out,
+                         uint32_t* fill_out) {
+  constexpr int64_t kHeader = 14, kPadding = 8;
+  if (len < kHeader + kPadding) return 1;
+  int64_t p = kHeader;
+  const int64_t chunks_len = len - kPadding;
+  Px index[64];
+  memset(index, 0, sizeof(index));
+  Px px{0, 0, 0, 255};
+  int64_t n = 0;
+  int64_t total = 0;
+
+  while (total < pixel_count && p < chunks_len) {
+    uint8_t b1 = data[p++];
+    int64_t cnt = 1;
+    if (b1 == 0xFE) {  // OP_RGB
+      if (p + 3 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      p += 3;
+    } else if (b1 == 0xFF) {  // OP_RGBA
+      if (p + 4 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      px.a = data[p + 3];
+      p += 4;
+    } else {
+      switch (b1 & 0xC0) {
+        case 0x00:  // OP_INDEX
+          px = index[b1 & 0x3F];
+          break;
+        case 0x40:  // OP_DIFF
+          px.r = uint8_t(px.r + ((b1 >> 4) & 3) - 2);
+          px.g = uint8_t(px.g + ((b1 >> 2) & 3) - 2);
+          px.b = uint8_t(px.b + (b1 & 3) - 2);
+          break;
+        case 0x80: {  // OP_LUMA
+          if (p >= len) return 2;
+          uint8_t b2 = data[p++];
+          int dg = int(b1 & 0x3F) - 32;
+          px.r = uint8_t(px.r + dg + ((b2 >> 4) & 0xF) - 8);
+          px.g = uint8_t(px.g + dg);
+          px.b = uint8_t(px.b + dg + (b2 & 0xF) - 8);
+          break;
+        }
+        default:  // OP_RUN
+          cnt = (b1 & 0x3F) + 1;
+      }
+    }
+    index[index_pos(px)] = px;
+    if (total + cnt > pixel_count) cnt = pixel_count - total;
+    if (n >= rcap) return 3;
+    cols_out[n] = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
+                  (uint32_t(px.b) << 8) | uint32_t(px.a);
+    cnts_out[n] = uint8_t(cnt);
+    n++;
+    total += cnt;
+  }
+  *n_out = n;
+  *fill_out = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
+              (uint32_t(px.b) << 8) | uint32_t(px.a);
+  return 0;
+}
+
 // Encode pixel_count pixels (channels 3 or 4) into out (caller-sized to
 // pixel_count * (channels + 1) + 22).  Writes ops only (no header/padding);
 // returns bytes written, or -1 on overflow.
