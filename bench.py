@@ -793,10 +793,30 @@ def main_sync(batch: int, size: int, steps: int):
 
 
 def make_bench_qoi(size: int = 1024, seed: int = 0) -> bytes:
-    """Structured RGBA8 QOI stream with distinct content per seed."""
+    """Distinct-content QOI stream per seed.  BENCH_QOI_CONTENT picks the
+    profile: "noise" (default — per-pixel noise over a sinusoid field;
+    nearly one op per pixel, QOI's worst case) or "screen" (flat panels +
+    gradients + sparse glyph speckle, the screenshot/UI class QOI was
+    designed for — run-heavy, ~3-6 px per op)."""
     from zpix_tpu.codecs.qoi.encode import Desc, encode
 
     rng = np.random.RandomState(seed)
+    if os.environ.get("BENCH_QOI_CONTENT", "noise") == "screen":
+        rgba = np.zeros((size, size, 4), np.uint8)
+        rgba[..., 3] = 255
+        # flat UI panels
+        for _ in range(24):
+            y, x = rng.randint(0, size, 2)
+            h, w = rng.randint(size // 16, size // 3, 2)
+            rgba[y : y + h, x : x + w, :3] = rng.randint(30, 226, 3)
+        # one horizontal gradient band (DIFF/LUMA chains)
+        gy = rng.randint(0, size - size // 8)
+        grad = np.linspace(40, 215, size).astype(np.uint8)
+        rgba[gy : gy + size // 8, :, :3] = grad[None, :, None]
+        # sparse text-like speckle (~2% of pixels)
+        m = rng.rand(size, size) < 0.02
+        rgba[..., :3][m] = rng.randint(0, 256, (int(m.sum()), 3))
+        return encode(rgba, Desc(size, size, 4, 0))
     x = np.linspace(0, 20, size)
     base = (128 + 100 * np.sin(x[None, :] * np.cos(x[:, None]) + seed)).astype(
         np.uint8
@@ -1140,6 +1160,8 @@ def main():
             if os.environ.get("BENCH_QOI_IMPL", "hostindex") == "hostindex"
             else "batched QOI decode (on-chip speculative scan)"
         )
+        if os.environ.get("BENCH_QOI_CONTENT", "noise") == "screen":
+            qoi_name += " [screen content]"
         print(
             json.dumps(
                 {

@@ -111,10 +111,10 @@ int zpix_qoi_decode(const uint8_t* data, int64_t len, int64_t pixel_count,
 // cnts_out[i] in [1,62].  Records past pixel_count are clipped.  Returns
 // 0 ok / 1 short stream / 2 truncated op / 3 rcap overflow; *n_out =
 // records written, *fill_out = final decoder px.
-int zpix_qoi_record_scan(const uint8_t* data, int64_t len,
-                         int64_t pixel_count, uint32_t* cols_out,
-                         uint8_t* cnts_out, int64_t rcap, int64_t* n_out,
-                         uint32_t* fill_out) {
+int zpix_qoi_record_scan(const uint8_t* __restrict data, int64_t len,
+                         int64_t pixel_count, uint32_t* __restrict cols_out,
+                         uint8_t* __restrict cnts_out, int64_t rcap,
+                         int64_t* n_out, uint32_t* fill_out) {
   constexpr int64_t kHeader = 14, kPadding = 8;
   if (len < kHeader + kPadding) return 1;
   int64_t p = kHeader;
@@ -125,17 +125,22 @@ int zpix_qoi_record_scan(const uint8_t* data, int64_t len,
   int64_t n = 0;
   int64_t total = 0;
 
+  // The op stream carries >= kPadding (8) readable bytes past chunks_len,
+  // so inside the stream body (p <= chunks_len - 5, the longest op) all
+  // per-op bounds checks hoist to one predictable branch; the tail ops
+  // keep the exact checks.
+  const int64_t fast_end = chunks_len - 5;
   while (total < pixel_count && p < chunks_len) {
     uint8_t b1 = data[p++];
     int64_t cnt = 1;
-    if (b1 == 0xFE) {  // OP_RGB
-      if (p + 3 > len) return 2;
+    if (__builtin_expect(b1 == 0xFE, 0)) {  // OP_RGB
+      if (p > fast_end && p + 3 > len) return 2;
       px.r = data[p];
       px.g = data[p + 1];
       px.b = data[p + 2];
       p += 3;
-    } else if (b1 == 0xFF) {  // OP_RGBA
-      if (p + 4 > len) return 2;
+    } else if (__builtin_expect(b1 == 0xFF, 0)) {  // OP_RGBA
+      if (p > fast_end && p + 4 > len) return 2;
       px.r = data[p];
       px.g = data[p + 1];
       px.b = data[p + 2];
@@ -152,7 +157,7 @@ int zpix_qoi_record_scan(const uint8_t* data, int64_t len,
           px.b = uint8_t(px.b + (b1 & 3) - 2);
           break;
         case 0x80: {  // OP_LUMA
-          if (p >= len) return 2;
+          if (p > fast_end && p >= len) return 2;
           uint8_t b2 = data[p++];
           int dg = int(b1 & 0x3F) - 32;
           px.r = uint8_t(px.r + dg + ((b2 >> 4) & 0xF) - 8);
@@ -165,8 +170,9 @@ int zpix_qoi_record_scan(const uint8_t* data, int64_t len,
       }
     }
     index[index_pos(px)] = px;
-    if (total + cnt > pixel_count) cnt = pixel_count - total;
-    if (n >= rcap) return 3;
+    if (__builtin_expect(total + cnt > pixel_count, 0))
+      cnt = pixel_count - total;
+    if (__builtin_expect(n >= rcap, 0)) return 3;
     cols_out[n] = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
                   (uint32_t(px.b) << 8) | uint32_t(px.a);
     cnts_out[n] = uint8_t(cnt);
