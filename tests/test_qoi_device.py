@@ -288,3 +288,65 @@ def test_hostindex_qoi_sharded_parity():
     out = np.asarray(HostIndexQoiDecoder(mesh=mesh).decode(datas))
     for i, d in enumerate(datas):
         assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"
+
+
+def test_lane_scan_native_vs_python():
+    """C++ vs Python lane-entry scans agree field-for-field at several
+    lane widths (the lane split is the TPU-fast expansion format)."""
+    from zpix_tpu import runtime
+    from zpix_tpu.parallel.qoi_batch import _lane_scan_native, _lane_scan_py
+
+    lib = runtime.get_lib()
+    if lib is None or not hasattr(lib, "zpix_qoi_lane_scan"):
+        pytest.skip("native runtime unavailable")
+    for img in _images():
+        data = _enc(img)
+        npx = img.shape[0] * img.shape[1]
+        for P in (8, 16, 48):
+            a = _lane_scan_native(data, npx, P)
+            b = _lane_scan_py(data, npx, P)
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y), P
+
+
+def test_hostindex_lane_parity_and_widths():
+    """Lane expansion (gather-free compare-mask) is bit-exact across
+    lane widths, including a truncated stream's fill tail."""
+    from zpix_tpu.parallel.qoi_batch import HostIndexQoiDecoder
+
+    datas = [_enc(i) for i in _images()]  # 40x24 = 960 px
+    ref = np.stack([host_decode(d).pix for d in datas])
+    for P in (8, 16, 32, 60):  # 960 % P == 0 for all
+        out = np.asarray(HostIndexQoiDecoder(lane_p=P).decode(datas))
+        assert np.array_equal(out, ref), P
+    t = datas[3][: len(datas[3]) // 2] + b"\x00" * 8
+    out = np.asarray(HostIndexQoiDecoder(lane_p=16).decode([t]))
+    assert np.array_equal(out[0], host_decode(t).pix)
+
+
+def test_hostindex_lane_nondivisor_width_autoshrinks():
+    """A lane width that does not divide the pixel count shrinks to the
+    largest divisor (layout must tile the raster exactly)."""
+    from zpix_tpu.parallel.qoi_batch import prep_qoi_lanes
+
+    data = _enc(_images()[0])  # 960 px
+    plan = prep_qoi_lanes([data], P=7)
+    assert plan.P == 6 and 960 % plan.P == 0
+
+
+def test_hostindex_lane_sharded_parity():
+    import jax
+
+    from zpix_tpu.parallel.mesh import make_mesh
+    from zpix_tpu.parallel.qoi_batch import HostIndexQoiDecoder
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    imgs = _images()
+    datas = [_enc(imgs[i % len(imgs)]) for i in range(8)]
+    mesh = make_mesh(jax.devices()[:8], batch=8, stripe=1)
+    out = np.asarray(
+        HostIndexQoiDecoder(mesh=mesh, lane_p=16).decode(datas)
+    )
+    for i, d in enumerate(datas):
+        assert np.array_equal(out[i], host_decode(d).pix), f"image {i}"

@@ -25,7 +25,7 @@ _SRCS = [
     os.path.join(_HERE, "inflate.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 15
+_ABI_VERSION = 17
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -162,6 +162,34 @@ def get_lib():
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
+            lib.zpix_qoi_lane_fill.restype = ctypes.c_int
+            lib.zpix_qoi_lane_fill.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
+            lib.zpix_qoi_lane_scan.restype = ctypes.c_int
+            lib.zpix_qoi_lane_scan.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_uint32),

@@ -1448,6 +1448,6 @@ int zpix_baseline_index_scan(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 15; }
+int zpix_entropy_abi_version() { return 17; }
 
 }  // extern "C"

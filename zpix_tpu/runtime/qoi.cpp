@@ -185,6 +185,245 @@ int zpix_qoi_record_scan(const uint8_t* __restrict data, int64_t len,
   return 0;
 }
 
+// Lane-aligned variant of the record scan for the TPU expansion graph.
+//
+// jnp.searchsorted run-expansion is gather-bound on TPU (measured
+// 8.2 s/batch at 16x1024² — XLA lowers the vmapped binary search to 20
+// full-raster gathers).  The gather-free form mirrors the on-chip
+// Huffman compare-sum: cut the raster into P-pixel lanes and emit each
+// record as per-lane entries (color, local start, local end), splitting
+// records at lane boundaries; the device then computes every lane's P
+// pixels as sum_r color[r] * (start[r] <= p < end[r]) — pure VPU
+// compare/select over an [R, lanes] layout (lanes minor), no gather, no
+// scatter.  The decode walk is sequential, so entries are emitted in
+// lane order and the per-lane arrays assemble without sorting.
+//
+// Entry count m <= ops + lanes (each lane boundary splits at most one
+// record) and the stream-exhausted tail is emitted as ordinary fill
+// entries, so the device graph needs no special fill handling.
+// lane_cnt must be zero-initialized by the caller ([n_lanes] int32).
+// Returns 0 ok / 1 short / 2 truncated / 3 ecap overflow / 4 P or
+// n_lanes mismatch.
+int zpix_qoi_lane_scan(const uint8_t* __restrict data, int64_t len,
+                       int64_t pixel_count, int32_t P,
+                       uint32_t* __restrict cols_out,
+                       int16_t* __restrict s_out, int16_t* __restrict e_out,
+                       int64_t ecap, int32_t* __restrict lane_cnt,
+                       int64_t n_lanes, int64_t* m_out,
+                       uint32_t* fill_out) {
+  constexpr int64_t kHeader = 14, kPadding = 8;
+  if (len < kHeader + kPadding) return 1;
+  if (P <= 0 || P > 32767 || n_lanes * int64_t(P) < pixel_count) return 4;
+  int64_t p = kHeader;
+  const int64_t chunks_len = len - kPadding;
+  const int64_t fast_end = chunks_len - 5;
+  Px index[64];
+  memset(index, 0, sizeof(index));
+  Px px{0, 0, 0, 255};
+  int64_t m = 0;
+  int64_t total = 0;
+
+  auto emit_span = [&](uint32_t col, int64_t start, int64_t end) -> bool {
+    for (int64_t lane = start / P; lane * P < end; lane++) {
+      if (m >= ecap) return false;
+      int64_t ls = start - lane * P;
+      if (ls < 0) ls = 0;
+      int64_t le = end - lane * P;
+      if (le > P) le = P;
+      cols_out[m] = col;
+      s_out[m] = int16_t(ls);
+      e_out[m] = int16_t(le);
+      lane_cnt[lane]++;
+      m++;
+    }
+    return true;
+  };
+
+  while (total < pixel_count && p < chunks_len) {
+    uint8_t b1 = data[p++];
+    int64_t cnt = 1;
+    if (__builtin_expect(b1 == 0xFE, 0)) {  // OP_RGB
+      if (p > fast_end && p + 3 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      p += 3;
+    } else if (__builtin_expect(b1 == 0xFF, 0)) {  // OP_RGBA
+      if (p > fast_end && p + 4 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      px.a = data[p + 3];
+      p += 4;
+    } else {
+      switch (b1 & 0xC0) {
+        case 0x00:  // OP_INDEX
+          px = index[b1 & 0x3F];
+          break;
+        case 0x40:  // OP_DIFF
+          px.r = uint8_t(px.r + ((b1 >> 4) & 3) - 2);
+          px.g = uint8_t(px.g + ((b1 >> 2) & 3) - 2);
+          px.b = uint8_t(px.b + (b1 & 3) - 2);
+          break;
+        case 0x80: {  // OP_LUMA
+          if (p > fast_end && p >= len) return 2;
+          uint8_t b2 = data[p++];
+          int dg = int(b1 & 0x3F) - 32;
+          px.r = uint8_t(px.r + dg + ((b2 >> 4) & 0xF) - 8);
+          px.g = uint8_t(px.g + dg);
+          px.b = uint8_t(px.b + dg + (b2 & 0xF) - 8);
+          break;
+        }
+        default:  // OP_RUN
+          cnt = (b1 & 0x3F) + 1;
+      }
+    }
+    index[index_pos(px)] = px;
+    if (__builtin_expect(total + cnt > pixel_count, 0))
+      cnt = pixel_count - total;
+    uint32_t col = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
+                   (uint32_t(px.b) << 8) | uint32_t(px.a);
+    if (!emit_span(col, total, total + cnt)) return 3;
+    total += cnt;
+  }
+  uint32_t fill = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
+                  (uint32_t(px.b) << 8) | uint32_t(px.a);
+  if (total < pixel_count) {  // stream-exhausted tail (decoder.zig:67-69)
+    if (!emit_span(fill, total, pixel_count)) return 3;
+    total = pixel_count;
+  }
+  *m_out = m;
+  *fill_out = fill;
+  return 0;
+}
+
+// One-pass variant of the lane scan that fills the padded per-lane
+// arrays DIRECTLY (the numpy assembly of zpix_qoi_lane_scan's entry
+// list cost ~900 ms/batch at 16x1024²: fancy-index scatters + 200 MB
+// of zero-init).  Layout here is lane-major [n_lanes, R] — each lane's
+// R slots are contiguous, so both entry writes and the empty-slot
+// padding (s=1, e=0, cols untouched) stream sequentially; the device
+// graph transposes once on-chip to its lanes-minor [R, Lt] form.
+// Decode order visits lanes monotonically, so padding happens exactly
+// when a lane is left behind.  If any lane needs more than R slots the
+// scan keeps counting without writing and returns 3 with *need_r_out =
+// the true max, so the caller can re-run with a bucketed R; rc=0 also
+// sets *need_r_out (for layout reuse hints).
+int zpix_qoi_lane_fill(const uint8_t* __restrict data, int64_t len,
+                       int64_t pixel_count, int32_t P, int32_t R,
+                       uint32_t* __restrict cols_out,
+                       int16_t* __restrict s_out, int16_t* __restrict e_out,
+                       int32_t* need_r_out, uint32_t* fill_out) {
+  constexpr int64_t kHeader = 14, kPadding = 8;
+  if (len < kHeader + kPadding) return 1;
+  if (P <= 0 || P > 32767 || R <= 0) return 4;
+  const int64_t n_lanes = (pixel_count + P - 1) / P;
+  int64_t p = kHeader;
+  const int64_t chunks_len = len - kPadding;
+  const int64_t fast_end = chunks_len - 5;
+  Px index[64];
+  memset(index, 0, sizeof(index));
+  Px px{0, 0, 0, 255};
+  int64_t total = 0;
+  int64_t cur_lane = 0;
+  int32_t cur_cnt = 0;
+  int32_t need_r = 0;
+  bool overflow = false;
+
+  auto pad_lane = [&](int64_t lane, int32_t from) {
+    if (overflow) return;
+    int16_t* sp = s_out + lane * R;
+    int16_t* ep = e_out + lane * R;
+    for (int32_t k = from; k < R; k++) {
+      sp[k] = 1;
+      ep[k] = 0;
+    }
+  };
+
+  auto emit_span = [&](uint32_t col, int64_t start, int64_t end) {
+    for (int64_t lane = start / P; lane * P < end; lane++) {
+      if (lane != cur_lane) {
+        pad_lane(cur_lane, cur_cnt);
+        cur_lane = lane;
+        cur_cnt = 0;
+      }
+      if (cur_cnt < R && !overflow) {
+        int64_t base = lane * R + cur_cnt;
+        int64_t ls = start - lane * P;
+        if (ls < 0) ls = 0;
+        int64_t le = end - lane * P;
+        if (le > P) le = P;
+        cols_out[base] = col;
+        s_out[base] = int16_t(ls);
+        e_out[base] = int16_t(le);
+      } else {
+        overflow = true;
+      }
+      cur_cnt++;
+      if (cur_cnt > need_r) need_r = cur_cnt;
+    }
+  };
+
+  while (total < pixel_count && p < chunks_len) {
+    uint8_t b1 = data[p++];
+    int64_t cnt = 1;
+    if (__builtin_expect(b1 == 0xFE, 0)) {  // OP_RGB
+      if (p > fast_end && p + 3 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      p += 3;
+    } else if (__builtin_expect(b1 == 0xFF, 0)) {  // OP_RGBA
+      if (p > fast_end && p + 4 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      px.a = data[p + 3];
+      p += 4;
+    } else {
+      switch (b1 & 0xC0) {
+        case 0x00:  // OP_INDEX
+          px = index[b1 & 0x3F];
+          break;
+        case 0x40:  // OP_DIFF
+          px.r = uint8_t(px.r + ((b1 >> 4) & 3) - 2);
+          px.g = uint8_t(px.g + ((b1 >> 2) & 3) - 2);
+          px.b = uint8_t(px.b + (b1 & 3) - 2);
+          break;
+        case 0x80: {  // OP_LUMA
+          if (p > fast_end && p >= len) return 2;
+          uint8_t b2 = data[p++];
+          int dg = int(b1 & 0x3F) - 32;
+          px.r = uint8_t(px.r + dg + ((b2 >> 4) & 0xF) - 8);
+          px.g = uint8_t(px.g + dg);
+          px.b = uint8_t(px.b + dg + (b2 & 0xF) - 8);
+          break;
+        }
+        default:  // OP_RUN
+          cnt = (b1 & 0x3F) + 1;
+      }
+    }
+    index[index_pos(px)] = px;
+    if (__builtin_expect(total + cnt > pixel_count, 0))
+      cnt = pixel_count - total;
+    uint32_t col = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
+                   (uint32_t(px.b) << 8) | uint32_t(px.a);
+    emit_span(col, total, total + cnt);
+    total += cnt;
+  }
+  uint32_t fill = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
+                  (uint32_t(px.b) << 8) | uint32_t(px.a);
+  if (total < pixel_count) {  // stream-exhausted tail (decoder.zig:67-69)
+    emit_span(fill, total, pixel_count);
+    total = pixel_count;
+  }
+  pad_lane(cur_lane, cur_cnt);
+  for (int64_t l = cur_lane + 1; l < n_lanes; l++) pad_lane(l, 0);
+  *need_r_out = need_r;
+  *fill_out = fill;
+  return overflow ? 3 : 0;
+}
+
 // Encode pixel_count pixels (channels 3 or 4) into out (caller-sized to
 // pixel_count * (channels + 1) + 22).  Writes ops only (no header/padding);
 // returns bytes written, or -1 on overflow.
