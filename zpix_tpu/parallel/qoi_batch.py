@@ -1029,9 +1029,17 @@ def prep_qoi_lanes(datas: list[bytes], P: int | None = None,
 
         with ThreadPoolExecutor(max_workers=nthreads) as ex:
             needs = list(ex.map(fill, range(B)))
+        tight = _bucket8(max(max(needs), r_hint or 0))
         if max(needs) <= R:
+            if tight < R and not r_hint:
+                # estimate overshot: refill once at the tight bucket
+                # (R is upload bytes AND device compute — worth one
+                # extra ~100 ms pass on the first batch of a layout)
+                out = None
+                R = tight
+                continue
             return QoiLanePlan(w, h, P, cols, s, e, B, R)
-        R = _bucket8(max(needs))
+        R = tight
 
 
 def build_qoi_lane_expand_fn(plan: QoiLanePlan, mesh=None):
