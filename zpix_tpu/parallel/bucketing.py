@@ -176,13 +176,14 @@ def _decode_bucket(kind: str, key, datas: list[bytes], mesh, min_batch: int):
             return list(_to_rgba(BatchJpegDecoder(mesh=mesh).decode(datas))), \
                 "device"
         if kind == "qoi":
-            from .qoi_batch import BatchQoiDecoder
+            # host-index split: the C++ lane pass + device expansion is
+            # exact by construction (no ok flag) and the production
+            # path — the speculative chip scan needs ~n_chunks fixed-
+            # point rounds at scale (qoi_batch section comment)
+            from .qoi_batch import HostIndexQoiDecoder
 
-            rgba, ok = BatchQoiDecoder(mesh=mesh).decode(datas)
-            if bool(ok):
-                return list(np.asarray(rgba)), "device"
-            # exact-by-design fallback (scan error / slot overflow)
-            return [_host_rgba(d) for d in datas], "host-verify"
+            rgba = HostIndexQoiDecoder(mesh=mesh).decode(datas)
+            return list(np.asarray(rgba)), "device"
         if kind == "bmp":
             from .bmp_batch import BatchBmpDecoder
 
