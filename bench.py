@@ -838,9 +838,12 @@ def main_qoi(batch: int, size: int, steps: int):
 
     mpix = batch * size * size / 1e6
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    # +1 pool: pools[0] is warm-only for the hostindex path (the terminal
+    # replays cached (program, inputs) pairs in ~0.1 ms, so the warmed
+    # buffer must not re-enter the timed set)
     pools = [
         [make_bench_qoi(size, seed=s * batch + j) for j in range(batch)]
-        for s in range(steps * trials)
+        for s in range(steps * trials + 1)
     ]
 
     if os.environ.get("BENCH_QOI_IMPL", "hostindex") == "hostindex":
@@ -876,7 +879,7 @@ def main_qoi(batch: int, size: int, steps: int):
         hint = plan0.R
         plans = [plan0] + [
             prep_qoi_lanes(p, lane_p, r_hint=hint)
-            for p in pools[1 : trials * steps]
+            for p in pools[1 : trials * steps + 1]
         ]
         # steady-state host pass: production double-buffers, so time
         # refills of ONE reused buffer set (a fresh 100+ MB allocation
@@ -894,7 +897,16 @@ def main_qoi(batch: int, size: int, steps: int):
             prep_qoi_lanes(pools[k], lane_p, r_hint=hint, out=reuse)
         host_s = (time.perf_counter() - t_h) / n_h
         lay0 = (plan0.batch, plan0.P, plan0.R)
+        n_before = len(plans)
         plans = [p for p in plans if (p.batch, p.P, p.R) == lay0]
+        if len(plans) != n_before:  # no silent caps: a partial timed
+            # set must be visible in the bench output
+            print(
+                f"# WARNING: dropped {n_before - len(plans)}/{n_before} "
+                f"batches whose (batch,P,R) layout differs from plan0 "
+                f"{lay0}; timing the remaining {len(plans)}",
+                file=sys.stderr,
+            )
         t_u = time.perf_counter()
         bufs = [
             (
@@ -910,7 +922,8 @@ def main_qoi(batch: int, size: int, steps: int):
         out = fn(*bufs[0])
         _ = int(dig_hi(jnp.uint32(0), out))  # warm
         times = []
-        done = 0
+        done = 1  # bufs[0] is warm-only: the terminal replays cached
+        # (program, inputs) pairs, so re-timing it would deflate trial 0
         for t in range(trials):
             todo = bufs[done : done + steps]
             if not todo:

@@ -103,6 +103,38 @@ def test_onchip_ac_refine_gray_zero_host_tail(testdata):
     assert np.array_equal(np.asarray(out)[0], _want(data))
 
 
+def test_onchip_progressive_max_batch_splits(testdata):
+    """Batches over max_batch split into equal-shaped sub-batches (the
+    compile-size cap for the tunneled backend's remote-compile failures
+    at batch=32, RESULTS_r4.md) — output identical to one-shot."""
+    path = os.path.join(testdata, "video-001.q50.444.progressive.jpeg")
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = OnchipProgressiveDecoder(**_KW, max_batch=2)
+    out, ok = dec.decode([data, data, data])  # 2 + 1 sub-batches
+    assert bool(ok)
+    want = _want(data)
+    got = np.asarray(out)
+    assert got.shape[0] == 3
+    for i in range(3):
+        assert np.array_equal(got[i], want)
+
+
+def test_onchip_progressive_hostindex_vs_spec_parity(testdata):
+    """The round-5 host-index first-scan split and the speculative
+    chunk path must produce identical pixels, both ok=True."""
+    path = os.path.join(testdata, "video-001.q50.444.progressive.jpeg")
+    with open(path, "rb") as f:
+        data = f.read()
+    d_hi = OnchipProgressiveDecoder(**_KW, impl="hostindex")
+    d_sp = OnchipProgressiveDecoder(**_KW, impl="spec")
+    o1, ok1 = d_hi.decode([data])
+    o2, ok2 = d_sp.decode([data])
+    assert bool(ok1) and bool(ok2)
+    assert d_hi.n_host_tail_scans == 0
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
 @pytest.mark.slow
 def test_onchip_progressive_full_corpus(testdata):
     dec = OnchipProgressiveDecoder(**_KW)

@@ -239,6 +239,43 @@ def test_hostindex_record_scan_native_vs_python():
         assert fn == fp
 
 
+def test_record_scan_py_short_stream_matches_native():
+    """A stream shorter than header+padding must raise FormatError in
+    BOTH scans (native rc=1) — the Python twin may not IndexError or
+    silently return (native-vs-python differential invariant)."""
+    from zpix_tpu import runtime
+    from zpix_tpu.errors import FormatError
+    from zpix_tpu.parallel.qoi_batch import (
+        _record_scan_native,
+        _record_scan_py,
+    )
+
+    short = b"qoif" + b"\x00" * 10  # 14 bytes: header only, no padding
+    with pytest.raises(FormatError):
+        _record_scan_py(short, 16)
+    lib = runtime.get_lib()
+    if lib is not None and hasattr(lib, "zpix_qoi_record_scan"):
+        with pytest.raises(FormatError):
+            _record_scan_native(short, 16)
+
+
+def test_lane_scan_py_rejects_int16_overflow_lane_p():
+    """lane entries carry int16 local spans: P > 32767 must raise
+    UnsupportedError (mirrors native rc=4), never silently wrap; and
+    prep_qoi_lanes clamps an oversized P before dispatch."""
+    from zpix_tpu.errors import UnsupportedError
+    from zpix_tpu.parallel.qoi_batch import _lane_scan_py, prep_qoi_lanes
+
+    data = _enc(_images()[0])
+    with pytest.raises(UnsupportedError):
+        _lane_scan_py(data, 64, 65536)
+    plan = prep_qoi_lanes([data], P=65536)
+    assert plan.P <= 32767  # clamped, then shrunk to a divisor of npx
+    img = _images()[0]
+    npx = img.shape[0] * img.shape[1]
+    assert npx % plan.P == 0
+
+
 def test_hostindex_qoi_truncated_fill():
     """Stream exhausts early -> remaining pixels replicate the final
     decoder px (decoder.zig:67-69), applied as the device fill color."""

@@ -274,6 +274,92 @@ def _receive_extend(jnp, w, pos, size):
     return jnp.where(size > 0, jnp.where(top_clear, raw - bias, raw), 0)
 
 
+def _make_ac_sym_step(jnp, decode_sym, mt_one, se):
+    """One AC spectral-selection symbol (shared by the speculative index
+    scan, the speculative value pass, and the host-index value pass —
+    the host C++ index walk zpix_prog_ac_first_index mirrors these exact
+    length semantics, including the overflow rule)."""
+
+    def sym_step(w, off, k, active):
+        """Returns (consume, new_k, blk_done, skips, bad, ln_sel, sym).
+        skips = extra blocks covered by an EOB run."""
+        look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+        ln_sel, sym, bad = decode_sym(look16, mt_one)
+        bad = active & bad
+        r = sym >> 4
+        size = sym & 15
+        is_eob = (size == 0) & (r < 15)
+        is_zrl = (size == 0) & (r == 15)
+        k2_ = k + r
+        overflow = (size > 0) & (k2_ > se)  # break BEFORE extend bits
+        run_extra = _bits_at(
+            jnp, w, off + ln_sel, jnp.clip(r, 0, 14)
+        ).astype(jnp.int32)
+        run_extra = jnp.where(is_eob & (r > 0), run_extra, 0)
+        eob_total = jnp.where(is_eob, (1 << jnp.clip(r, 0, 14)) | run_extra, 0)
+        consume = jnp.where(
+            is_eob, ln_sel + jnp.where(r > 0, r, 0),
+            jnp.where(is_zrl | overflow, ln_sel, ln_sel + size),
+        )
+        new_k = jnp.where(
+            is_zrl, k + 16,
+            jnp.where(is_eob | overflow, k, k2_ + 1),
+        )
+        blk_done = is_eob | overflow | (new_k > se)
+        skips = jnp.where(is_eob, eob_total - 1, 0)
+        return consume, new_k, blk_done, skips, bad, ln_sel, sym
+
+    return sym_step
+
+
+def _make_ac_value_body(jax, jnp, win, n, W, sym_step, k2, se, invT,
+                        off_lim, L2):
+    """Per-valid-block AC value-pass loop body/cond (one lane per block,
+    each decoding its own [start, end) bit span into a [64, L2] natural-
+    order column).  Shared by the speculative path (offsets from the
+    on-chip index scan) and the host-index path (offsets from
+    zpix_prog_ac_first_index)."""
+
+    def body2(st):
+        (bit_pos, curT, k, done, err, steps) = st
+        byte = jnp.clip(bit_pos >> 3, 0, n - 1)
+        wW = win[byte]
+        w = tuple(wW[:, i] for i in range(W))
+        off0 = (bit_pos & 7).astype(jnp.int32)
+        off = off0
+        emits = []
+        for _ in range(k2):
+            active = (~done) & (off <= off_lim)
+            consume, new_k, blk_done, _skips, bad, ln_sel, sym = (
+                sym_step(w, off, k, active)
+            )
+            r = sym >> 4
+            size = sym & 15
+            k_emit = k + r
+            emit_ok = (size > 0) & (k_emit <= se)
+            ext = _receive_extend(jnp, w, off + ln_sel, size)
+            app = active & ~bad
+            emits.append((
+                jnp.where(app & emit_ok, ext, 0),
+                jnp.clip(k_emit, 0, 63),
+            ))
+            k = jnp.where(app, new_k, k)
+            off = jnp.where(app, off + consume, off)
+            err = err | bad
+            done = done | (app & blk_done) | bad
+        curT = curT + sum(
+            jnp.where(ek[None, :] == invT, ev[None, :], 0)
+            for ev, ek in emits
+        )
+        bit_pos = bit_pos - off0 + off
+        return (bit_pos, curT, k, done, err, steps + 1)
+
+    def cond2(st):
+        return (jnp.sum(st[3].astype(jnp.int32)) < L2) & (st[5] < 81)
+
+    return body2, cond2
+
+
 def build_dc_first_fn(
     *, batch: int, n_chunks: int, chunk_bytes: int, cmp: CmpTables,
     tid_of_slot: tuple, nblk_total: int, k1: int = None, W: int = None,
@@ -504,34 +590,7 @@ def build_ac_first_fn(
         )
         chunk_end = jnp.minimum(chunk_start + C_BITS, img_end[lane_img])
 
-        def sym_step(w, off, k, active):
-            """One AC symbol: returns (consume, new_k, blk_done, skips,
-            bad).  skips = extra blocks covered by an EOB run."""
-            look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
-            ln_sel, sym, bad = decode_sym(look16, mt_one)
-            bad = active & bad
-            r = sym >> 4
-            size = sym & 15
-            is_eob = (size == 0) & (r < 15)
-            is_zrl = (size == 0) & (r == 15)
-            k2_ = k + r
-            overflow = (size > 0) & (k2_ > se)  # break BEFORE extend bits
-            run_extra = _bits_at(
-                jnp, w, off + ln_sel, jnp.clip(r, 0, 14)
-            ).astype(jnp.int32)
-            run_extra = jnp.where(is_eob & (r > 0), run_extra, 0)
-            eob_total = jnp.where(is_eob, (1 << jnp.clip(r, 0, 14)) | run_extra, 0)
-            consume = jnp.where(
-                is_eob, ln_sel + jnp.where(r > 0, r, 0),
-                jnp.where(is_zrl | overflow, ln_sel, ln_sel + size),
-            )
-            new_k = jnp.where(
-                is_zrl, k + 16,
-                jnp.where(is_eob | overflow, k, k2_ + 1),
-            )
-            blk_done = is_eob | overflow | (new_k > se)
-            skips = jnp.where(is_eob, eob_total - 1, 0)
-            return consume, new_k, blk_done, skips, bad, ln_sel, sym
+        sym_step = _make_ac_sym_step(jnp, decode_sym, mt_one, se)
 
         # ---------------- index scan (chunk lanes)
         def scan_chunks(entries, record):
@@ -701,43 +760,9 @@ def build_ac_first_fn(
 
         # ---------------- value pass: one lane per valid block
         invT = jnp.asarray(invT_np)
-
-        def body2(st):
-            (bit_pos, curT, k, done, err, steps) = st
-            byte = jnp.clip(bit_pos >> 3, 0, n - 1)
-            wW = win[byte]
-            w = tuple(wW[:, i] for i in range(W))
-            off0 = (bit_pos & 7).astype(jnp.int32)
-            off = off0
-            emits = []
-            for _ in range(k2):
-                active = (~done) & (off <= off_lim)
-                consume, new_k, blk_done, _skips, bad, ln_sel, sym = (
-                    sym_step(w, off, k, active)
-                )
-                r = sym >> 4
-                size = sym & 15
-                k_emit = k + r
-                emit_ok = (size > 0) & (k_emit <= se)
-                ext = _receive_extend(jnp, w, off + ln_sel, size)
-                app = active & ~bad
-                emits.append((
-                    jnp.where(app & emit_ok, ext, 0),
-                    jnp.clip(k_emit, 0, 63),
-                ))
-                k = jnp.where(app, new_k, k)
-                off = jnp.where(app, off + consume, off)
-                err = err | bad
-                done = done | (app & blk_done) | bad
-            curT = curT + sum(
-                jnp.where(ek[None, :] == invT, ev[None, :], 0)
-                for ev, ek in emits
-            )
-            bit_pos = bit_pos - off0 + off
-            return (bit_pos, curT, k, done, err, steps + 1)
-
-        def cond2(st):
-            return (jnp.sum(st[3].astype(jnp.int32)) < L2) & (st[5] < 81)
+        body2, cond2 = _make_ac_value_body(
+            jax, jnp, win, n, W, sym_step, k2, se, invT, off_lim, L2
+        )
 
         st2 = jax.lax.while_loop(
             cond2,
@@ -768,6 +793,144 @@ def build_ac_first_fn(
         return decode
     import jax
 
+    return jax.jit(decode)
+
+
+def build_dc_first_value_fn(
+    *, batch: int, nblk: int, cap: int, cmp: CmpTables,
+    tid_of_slot: tuple, W: int = None, _raw: bool = False,
+):
+    """DC-first VALUE pass fed by the host C++ index pass
+    (runtime.zpix_prog_dc_first_index) — the round-5 host/device split
+    for progressive first scans.
+
+    Every block is exactly ONE DC symbol + extend bits
+    (/root/reference/src/jpeg/decoder.zig:1366-1376), so with exact
+    per-block start offsets this pass has NO loop at all: one fully
+    parallel compare-sum Huffman decode + receive/extend across all
+    B*nblk lanes.  Verification: every lane's end bit must equal the
+    host walk's end offset (``agree``), which re-derives the serial walk
+    bit-for-bit.
+
+    Input: packed [cap + 8*L] (stream ++ starts i32 ++ ends i32,
+    absolute bit offsets into the stacked stream).  Returns
+    (diffs [B, nblk] int32 raw DC diffs, ok).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device_entropy import _DEF_W
+
+    L = batch * nblk
+    W = W if W is not None else _DEF_W
+    bpm = len(tid_of_slot)
+
+    def decode(packed):
+        stream = packed[:cap]
+
+        def le32(off):
+            pb = packed[off : off + 4 * L].reshape(L, 4).astype(jnp.int32)
+            return (pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16)
+                    | (pb[:, 3] << 24))
+
+        starts = le32(cap)
+        ends_expect = le32(cap + 4 * L)
+        win, n = _window(jnp, stream, W)
+        decode_sym = _make_sym_decoder(jnp, cmp)
+        byte = jnp.clip(starts >> 3, 0, n - 1)
+        wW = win[byte]
+        w = tuple(wW[:, i] for i in range(W))
+        off = (starts & 7).astype(jnp.int32)
+        look16 = _bits_at(jnp, w, off, jnp.int32(16)).astype(jnp.int32)
+        if bpm == 1:
+            mt = [
+                True if t == tid_of_slot[0] else None
+                for t in range(cmp.ntab)
+            ]
+        else:
+            slot = (jnp.arange(L) % bpm).astype(jnp.int32)
+            tid = _select_by_index(jnp, slot, tid_of_slot)
+            mt = [tid == t for t in range(cmp.ntab)]
+        ln_sel, sym, bad = decode_sym(look16, mt)
+        bad = bad | (sym > 16)  # decoder.py:548-551
+        diff = _receive_extend(jnp, w, off + ln_sel, sym)
+        end = starts + ln_sel + sym
+        ok = ~jnp.any(bad) & jnp.all(end == ends_expect)
+        return diff.reshape(batch, nblk), ok
+
+    if _raw:
+        return decode
+    return jax.jit(decode)
+
+
+def build_ac_first_value_fn(
+    *, batch: int, nvalid: int, cap: int, cmp: CmpTables, ss: int,
+    se: int, k2: int = None, W: int = None, _raw: bool = False,
+):
+    """AC-first VALUE pass fed by the host C++ index pass
+    (runtime.zpix_prog_ac_first_index).
+
+    One lane per VALID block; lanes whose block is EOB-covered
+    (hasdata=0) idle.  The loop body is the same per-block spectral
+    decode as the speculative path's value pass (_make_ac_value_body) —
+    only the offsets' provenance changes, so the ``agree`` check (lane
+    end == host end) re-derives the host walk bit-for-bit.
+
+    Input: packed [cap + 12*L] (stream ++ starts i32 ++ ends i32 ++
+    hasdata i32).  Returns (curT [64, B*nvalid] int32 natural-order
+    values — << Al applied by the caller, ok).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .device_entropy import _DEF_K, _DEF_W
+
+    L2 = batch * nvalid
+    k2 = k2 if k2 is not None else _DEF_K
+    W = W if W is not None else _DEF_W
+    off_lim = 32 * W - 48
+    mt_one = [True if t == 0 else None for t in range(cmp.ntab)]
+
+    inv = np.zeros(64, np.int64)
+    inv[UNZIG] = np.arange(64)
+    invT_np = inv[:, None]
+
+    def decode(packed):
+        stream = packed[:cap]
+
+        def le32(off):
+            pb = packed[off : off + 4 * L2].reshape(L2, 4).astype(jnp.int32)
+            return (pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16)
+                    | (pb[:, 3] << 24))
+
+        starts = le32(cap)
+        ends_expect = le32(cap + 4 * L2)
+        has_data = le32(cap + 8 * L2) > 0
+        win, n = _window(jnp, stream, W)
+        decode_sym = _make_sym_decoder(jnp, cmp)
+        sym_step = _make_ac_sym_step(jnp, decode_sym, mt_one, se)
+        invT = jnp.asarray(invT_np)
+        body2, cond2 = _make_ac_value_body(
+            jax, jnp, win, n, W, sym_step, k2, se, invT, off_lim, L2
+        )
+        st2 = jax.lax.while_loop(
+            cond2,
+            body2,
+            (
+                starts,
+                jnp.zeros((64, L2), jnp.int32),
+                jnp.full(L2, ss, jnp.int32),
+                ~has_data,
+                jnp.zeros(L2, bool),
+                jnp.int32(0),
+            ),
+        )
+        agree = (st2[0] == ends_expect) | ~has_data
+        ok = jnp.all(st2[3]) & ~jnp.any(st2[4]) & jnp.all(agree)
+        return st2[1], ok
+
+    if _raw:
+        return decode
     return jax.jit(decode)
 
 
@@ -1011,9 +1174,25 @@ class OnchipProgressiveDecoder:
     """
 
     def __init__(self, *, chunk_bytes: int = 64, k1: int | None = None,
-                 k2: int | None = None, W: int | None = None):
+                 k2: int | None = None, W: int | None = None,
+                 impl: str | None = None, max_batch: int | None = None):
+        import os as _os
+
         self.chunk_bytes = chunk_bytes
         self.k1, self.k2, self.W = k1, k2, W
+        # "hostindex" (default): C++ lengths-only index passes feed small
+        # per-scan device value passes — no speculative fixed points.
+        # "spec": the chip-resident speculative-chunk path (the full
+        # chip-residency option; also the automatic fallback when the
+        # native runtime is absent or an index pass errors).
+        self.impl = impl or _os.environ.get("ZPIX_PROG_IMPL", "hostindex")
+        # Compile-size cap: decode() splits larger batches into
+        # equal-shaped sub-batches (reusing compiled programs) instead
+        # of handing the terminal one huge graph — batch=32 reproducibly
+        # failed remote-compile on the tunneled backend (RESULTS_r4.md).
+        self.max_batch = max_batch if max_batch is not None else int(
+            _os.environ.get("ZPIX_PROG_MAX_BATCH", "16")
+        )
         self._fns: dict = {}
         self._recon_fns: dict = {}
 
@@ -1179,6 +1358,297 @@ class OnchipProgressiveDecoder:
         state[c] = state[c] + contrib.reshape(B, nblk_c * 64)
         return ok
 
+    # ---------------- host-index mode (round 5): C++ index passes for
+    # EVERY scan up front, ONE super upload, small per-scan value passes
+
+    def _dc_scan_geom(self, p0, sc):
+        """(cmp, tid_of_slot, nblk, grid_maps-or-vidx) for a DC scan."""
+        interleaved = len(sc.comps) > 1
+        order = []
+        for td in sc.td:
+            if (0, td) not in order:
+                order.append((0, td))
+        cmp = CmpTables([sc.huffs[kk] for kk in order])
+        tid_of_comp = {c: order.index((0, sc.td[i]))
+                       for i, c in enumerate(sc.comps)}
+        if interleaved:
+            tid_of_slot = []
+            for c in sc.comps:
+                tid_of_slot += [tid_of_comp[c]] * (
+                    p0.hv[c][0] * p0.hv[c][1]
+                )
+            nblk = p0.mxx * p0.myy * len(tid_of_slot)
+            pos = self._mcu_grid_idx(p0, sc.comps)
+        else:
+            c = sc.comps[0]
+            tid_of_slot = [tid_of_comp[c]]
+            pos = self._valid_idx(p0, c)
+            nblk = len(pos)
+        return cmp, tuple(tid_of_slot), nblk, pos, order
+
+    def _prep_dc_first(self, plans, s: int, lib):
+        """Host C++ DC-first index pass -> packed buffer + meta, or
+        None on an index error (caller falls back)."""
+        import ctypes
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import runtime
+
+        p0 = plans[0]
+        sc: ScanInfo = p0.scans[s]
+        cmp, tid_of_slot, nblk, pos, order = self._dc_scan_geom(p0, sc)
+        B = len(plans)
+        huff_arr = (runtime.HuffTableC * len(order))()
+        for i, kk in enumerate(order):
+            tab = sc.huffs[kk]
+            ct = huff_arr[i]
+            ct.min_codes[:] = tab.min_codes
+            ct.max_codes[:] = tab.max_codes
+            ct.vals_indices[:] = tab.vals_indices
+            ct.vals[:] = tab.vals
+            ct.num_codes = tab.num_codes
+        tids = np.asarray(tid_of_slot, np.int32)
+        streams = [np.ascontiguousarray(pl.scans[s].stream) for pl in plans]
+        padded = [
+            np.ascontiguousarray(np.concatenate([st, np.zeros(8, np.uint8)]))
+            for st in streams
+        ]
+        ends = np.empty((B, nblk), np.int32)
+
+        def one(b):
+            endb = ctypes.c_int64(0)
+            return lib.zpix_prog_dc_first_index(
+                padded[b].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(streams[b]), huff_arr,
+                tids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(tid_of_slot), nblk,
+                ends[b].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.byref(endb),
+            )
+
+        with ThreadPoolExecutor(
+            max_workers=min(B, _os.cpu_count() or 2)
+        ) as ex:
+            if any(rc != 0 for rc in ex.map(one, range(B))):
+                return None
+        starts = np.empty((B, nblk), np.int32)
+        starts[:, 0] = 0
+        starts[:, 1:] = ends[:, :-1]
+        flat, bstarts, _be, _F = self._stack_streams(streams)
+        cap = int(flat.shape[0])
+        b32 = bstarts[:, None].astype(np.int32)
+        packed = np.concatenate([
+            flat, (starts + b32).astype("<i4").reshape(-1).view(np.uint8),
+            (ends + b32).astype("<i4").reshape(-1).view(np.uint8),
+        ])
+        return dict(kind="dc", packed=packed, cap=cap, nblk=nblk,
+                    cmp=cmp, tid_of_slot=tid_of_slot, pos=pos,
+                    comps=sc.comps, al=sc.al,
+                    interleaved=len(sc.comps) > 1)
+
+    def _prep_ac_first(self, plans, s: int, masks, lib):
+        """Host C++ AC-first index pass; also evolves the host-side
+        nonzero masks so later refinement index passes need NO device
+        store fetch.  Returns packed buffer + meta, or None."""
+        import ctypes
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import runtime
+
+        p0 = plans[0]
+        sc: ScanInfo = p0.scans[s]
+        c = sc.comps[0]
+        vidx = self._valid_idx(p0, c)
+        nvalid = len(vidx)
+        B = len(plans)
+        hc, vc = p0.hv[c]
+        nblk_c = p0.mxx * hc * p0.myy * vc
+        for b in range(B):
+            if (b, c) not in masks:
+                masks[(b, c)] = np.zeros((nvalid, 64), np.uint8)
+        h = sc.huffs[(1, sc.ta[0])]
+        tab = runtime.HuffTableC()
+        tab.min_codes[:] = h.min_codes
+        tab.max_codes[:] = h.max_codes
+        tab.vals_indices[:] = h.vals_indices
+        tab.vals[:] = h.vals
+        tab.num_codes = h.num_codes
+        streams = [np.ascontiguousarray(pl.scans[s].stream) for pl in plans]
+        padded = [
+            np.ascontiguousarray(np.concatenate([st, np.zeros(8, np.uint8)]))
+            for st in streams
+        ]
+        starts = np.empty((B, nvalid), np.int32)
+        ends = np.empty((B, nvalid), np.int32)
+        hasdata = np.empty((B, nvalid), np.uint8)
+
+        def one(b):
+            endb = ctypes.c_int64(0)
+            return lib.zpix_prog_ac_first_index(
+                padded[b].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(streams[b]), ctypes.byref(tab), sc.ss, sc.se, nvalid,
+                starts[b].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ends[b].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                hasdata[b].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                masks[(b, c)].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)
+                ),
+                ctypes.byref(endb),
+            )
+
+        with ThreadPoolExecutor(
+            max_workers=min(B, _os.cpu_count() or 2)
+        ) as ex:
+            if any(rc != 0 for rc in ex.map(one, range(B))):
+                return None
+        flat, bstarts, _be, _F = self._stack_streams(streams)
+        cap = int(flat.shape[0])
+        b32 = bstarts[:, None].astype(np.int32)
+        packed = np.concatenate([
+            flat, (starts + b32).astype("<i4").reshape(-1).view(np.uint8),
+            (ends + b32).astype("<i4").reshape(-1).view(np.uint8),
+            hasdata.astype("<i4").reshape(-1).view(np.uint8),
+        ])
+        return dict(kind="ac", packed=packed, cap=cap, c=c, vidx=vidx,
+                    nvalid=nvalid, huff=h, nblk_c=nblk_c,
+                    ss=sc.ss, se=sc.se, al=sc.al)
+
+    def _prep_hostindex(self, plans):
+        """Walk EVERY scan's host index pass in script order (masks and
+        EOB-run state evolve host-side, in order), stack all packed
+        buffers.  Returns (preps {si: (row_idx-or-None, meta-or-None)},
+        sup [n_rows, capmax] np.uint8) or None -> speculative path."""
+        from .. import runtime
+
+        lib = runtime.get_lib()
+        if lib is None or not hasattr(lib, "zpix_prog_ac_first_index"):
+            return None
+        p0 = plans[0]
+        masks: dict = {}
+        eob_runs = [0] * len(plans)
+        preps: dict = {}
+        rows: list = []
+        for si, sc in enumerate(p0.scans):
+            kind = sc.kind
+            if kind == "dc_refine":
+                preps[si] = (None, None)
+                continue
+            if kind in ("ac_first", "ac_refine") and len(sc.comps) != 1:
+                return None  # malformed (AC scans are single-component)
+            if kind == "dc_first":
+                meta = self._prep_dc_first(plans, si, lib)
+            elif kind == "ac_first":
+                meta = self._prep_ac_first(plans, si, masks, lib)
+            else:  # ac_refine
+                meta = self._prep_ac_refine(
+                    plans, si, masks, eob_runs, None
+                )
+            if meta is None:
+                return None
+            preps[si] = (len(rows), meta)
+            rows.append(meta["packed"])
+        if not rows:
+            return preps, None
+        capmax = max(r.shape[0] for r in rows)
+        sup = np.zeros((len(rows), capmax), np.uint8)
+        for i, r in enumerate(rows):
+            sup[i, : r.shape[0]] = r
+        return preps, sup
+
+    def _apply_dc_first(self, si, state, sup_dev, row_idx, meta, B, jnp):
+        """Dispatch a DC-first value pass + predictor cumsum + store
+        scatter as ONE jit program reading the super-upload row."""
+        import jax
+
+        nblk = meta["nblk"]
+        cap = meta["cap"]
+        comps = meta["comps"]
+        al = meta["al"]
+        total_len = cap + 8 * B * nblk
+        key = ("dcv", self._cur_key, si, B, row_idx,
+               int(sup_dev.shape[1]), cap)
+        fn = self._fns.get(key)
+        if fn is None:
+            kern = build_dc_first_value_fn(
+                batch=B, nblk=nblk, cap=cap, cmp=meta["cmp"],
+                tid_of_slot=meta["tid_of_slot"], W=self.W, _raw=True,
+            )
+            if meta["interleaved"]:
+                hv = self._cur_hv
+                grid_maps = meta["pos"]
+                nbs = [hv[c][0] * hv[c][1] for c in comps]
+                bpm = sum(nbs)
+
+                def update(sup, sts):
+                    pk = sup[row_idx, :total_len]
+                    diffs, ok = kern(pk)
+                    d3 = diffs.reshape(B, nblk // bpm, bpm)
+                    out = list(sts)
+                    s0 = 0
+                    for i, c in enumerate(comps):
+                        seq = d3[:, :, s0 : s0 + nbs[i]].reshape(B, -1)
+                        dc = jnp.cumsum(seq, axis=1) << al
+                        pos = jnp.asarray(grid_maps[i] * 64)
+                        out[i] = sts[i].at[:, pos].set(dc)
+                        s0 += nbs[i]
+                    return tuple(out), ok
+            else:
+                vidx = meta["pos"]
+                pos_np = vidx.astype(np.int64) * 64
+
+                def update(sup, sts):
+                    pk = sup[row_idx, :total_len]
+                    diffs, ok = kern(pk)
+                    dc = jnp.cumsum(diffs, axis=1) << al
+                    pos = jnp.asarray(pos_np)
+                    return (sts[0].at[:, pos].set(dc),), ok
+
+            fn = jax.jit(update)
+            self._fns[key] = fn
+        new_sts, ok = fn(sup_dev, tuple(state[c] for c in comps))
+        for i, c in enumerate(comps):
+            state[c] = new_sts[i]
+        return ok
+
+    def _apply_ac_first(self, si, state, sup_dev, row_idx, meta, B, jnp):
+        """Dispatch an AC-first value pass + store scatter-add as ONE
+        jit program reading the super-upload row."""
+        import jax
+
+        c = meta["c"]
+        nvalid = meta["nvalid"]
+        nblk_c = meta["nblk_c"]
+        cap = meta["cap"]
+        al = meta["al"]
+        total_len = cap + 12 * B * nvalid
+        key = ("acv", self._cur_key, si, B, row_idx,
+               int(sup_dev.shape[1]), cap)
+        fn = self._fns.get(key)
+        if fn is None:
+            kern = build_ac_first_value_fn(
+                batch=B, nvalid=nvalid, cap=cap,
+                cmp=CmpTables([meta["huff"]]),
+                ss=meta["ss"], se=meta["se"],
+                k2=self.k2, W=self.W, _raw=True,
+            )
+            vj = jnp.asarray(meta["vidx"].astype(np.int64))
+
+            def update(sup, st_c):
+                pk = sup[row_idx, :total_len]
+                curT, ok = kern(pk)
+                vals = jnp.transpose(
+                    curT.reshape(64, B, nvalid), (1, 2, 0)
+                ) << al
+                new = st_c.reshape(B, nblk_c, 64).at[:, vj].add(vals)
+                return new.reshape(B, nblk_c * 64), ok
+
+            fn = jax.jit(update)
+            self._fns[key] = fn
+        state[c], ok = fn(sup_dev, state[c])
+        return ok
+
     def _run_dc_refine(self, plans, s: int, state, jnp):
         import jax as _jax
 
@@ -1251,7 +1721,11 @@ class OnchipProgressiveDecoder:
         masks: {(b, c): [nvalid, 64] uint8 zigzag nonzero flags},
         maintained across refinement scans by the index passes
         themselves (a new +-1<<Al coefficient sets its flag); seeded
-        lazily per component from the ONE store fetch (``seeds``).
+        lazily per component from the ONE store fetch (``seeds``).  In
+        hostindex mode seeds=None: the AC-first index passes
+        (zpix_prog_ac_first_index) already populated the masks
+        host-side, so a component with no mask yet simply has no
+        nonzero coefficients (all-zero seed, no device fetch at all).
         eob_runs: per-image EOB-run state carried across refinement
         scans (reference decoder state; zero entering the first
         refinement — well-formed first scans never leave a dangling
@@ -1278,10 +1752,13 @@ class OnchipProgressiveDecoder:
         nblk_c = p0.mxx * hc * p0.myy * vc
         for b in range(B):  # lazy per-component mask seeding
             if (b, c) not in masks:
-                arr = seeds[c][b].reshape(nblk_c, 64)[vidx]
-                masks[(b, c)] = np.ascontiguousarray(
-                    (arr[:, UNZIG] != 0).astype(np.uint8)
-                )
+                if seeds is None:  # hostindex mode: no prior nonzeros
+                    masks[(b, c)] = np.zeros((nvalid, 64), np.uint8)
+                else:
+                    arr = seeds[c][b].reshape(nblk_c, 64)[vidx]
+                    masks[(b, c)] = np.ascontiguousarray(
+                        (arr[:, UNZIG] != 0).astype(np.uint8)
+                    )
         h = sc.huffs[(1, sc.ta[0])]
         tab = runtime.HuffTableC()
         tab.min_codes[:] = h.min_codes
@@ -1379,13 +1856,28 @@ class OnchipProgressiveDecoder:
     # ---------------- public API
 
     def decode(self, datas: list[bytes]):
-        import jax
-        import jax.numpy as jnp
-
-        from .batch import _gray_graph, _ycbcr_graph
-
+        """Decode a batch; batches over ``max_batch`` split into
+        equal-shaped sub-batches (one compiled program each)."""
         if not datas:
             raise ValueError("jpeg: empty batch")
+        mb = self.max_batch
+        if mb and len(datas) > mb:
+            import jax.numpy as jnp
+
+            outs, ok = [], jnp.asarray(True)
+            tails = 0
+            for i in range(0, len(datas), mb):
+                o, k = self._decode_chunk(datas[i : i + mb])
+                outs.append(o)
+                ok = ok & k
+                tails = max(tails, self.n_host_tail_scans)
+            self.n_host_tail_scans = tails
+            return jnp.concatenate(outs, axis=0), ok
+        return self._decode_chunk(datas)
+
+    def _decode_chunk(self, datas: list[bytes]):
+        import jax
+        import jax.numpy as jnp
         plans = [parse_progressive(d) for d in datas]
         p0 = plans[0]
 
@@ -1430,12 +1922,47 @@ class OnchipProgressiveDecoder:
             for c in range(p0.ncomp)
         ]
 
-        # Device-decodable scans run in script order; AC refinements use
-        # the host INDEX pass + device VALUE pass split, with host-side
-        # masks seeded from ONE store fetch at the first refinement.
-        # Coverage breaks (-> host tail) only on: multi-component
-        # ac_first, an ac_first AFTER a refinement (the host masks would
-        # go stale), a missing native runtime, or an index-pass error.
+        # Round-5 hostindex mode (default): C++ lengths-only index
+        # passes for EVERY scan up front (masks + EOB-run state evolve
+        # host-side in script order — zero device store fetches), ONE
+        # super upload, then small per-scan value passes.  Falls back
+        # to the speculative-chunk path on a missing native runtime or
+        # an index-pass error (corrupt stream).
+        self._cur_hv = p0.hv
+        hi = None
+        if self.impl == "hostindex":
+            hi = self._prep_hostindex(plans)
+        if hi is not None:
+            preps, sup = hi
+            sup_dev = jax.device_put(sup) if sup is not None else None
+            ok = jnp.asarray(True)
+            for si in range(len(p0.scans)):
+                kind = p0.scans[si].kind
+                ri, meta = preps[si]
+                if kind == "dc_first":
+                    ok = ok & self._apply_dc_first(
+                        si, state, sup_dev, ri, meta, B, jnp
+                    )
+                elif kind == "ac_first":
+                    ok = ok & self._apply_ac_first(
+                        si, state, sup_dev, ri, meta, B, jnp
+                    )
+                elif kind == "ac_refine":
+                    ok = ok & self._apply_ac_refine(
+                        si, state, sup_dev, ri, meta, B, jnp
+                    )
+                else:
+                    ok = ok & self._run_dc_refine(plans, si, state, jnp)
+            self.n_host_tail_scans = 0
+            return self._reconstruct(plans, state, ok, B, jnp)
+
+        # Speculative-chunk path: device-decodable scans run in script
+        # order; AC refinements use the host INDEX pass + device VALUE
+        # pass split, with host-side masks seeded from ONE store fetch
+        # at the first refinement.  Coverage breaks (-> host tail) only
+        # on: multi-component ac_first, an ac_first AFTER a refinement
+        # (the host masks would go stale), a missing native runtime, or
+        # an index-pass error.
         ok = jnp.asarray(True)
         masks: dict = {}
         eob_runs = [0] * B
@@ -1550,11 +2077,24 @@ class OnchipProgressiveDecoder:
                             jnp.asarray(diff[nz].astype(np.int32))
                         )
 
+        return self._reconstruct(plans, state, ok, B, jnp)
+
+    def _reconstruct(self, plans, state, ok, B, jnp):
+        """Dequant + IDCT + color device graph on the finished store."""
+        import jax
+
+        from .batch import _gray_graph, _ycbcr_graph
+
+        p0 = plans[0]
+        shapes = [
+            (p0.myy * p0.hv[c][1], p0.mxx * p0.hv[c][0], 64)
+            for c in range(p0.ncomp)
+        ]
         quants = [
             jnp.asarray(np.stack([pl.quants[c] for pl in plans]))
             for c in range(p0.ncomp)
         ]
-        key = (k0[:4], B)
+        key = (self._cur_key[:4], B)
         fn = self._recon_fns.get(key)
         if fn is None:
 

@@ -694,8 +694,11 @@ def _record_scan_py(data: bytes, pixel_count: int):
     """Pure-Python twin of zpix_qoi_record_scan (ZPIX_NATIVE=0 path)."""
     from ..codecs.qoi.decode import QOI_HEADER_SIZE, QOI_PADDING_SIZE
 
+    n = len(data)
+    if n < QOI_HEADER_SIZE + QOI_PADDING_SIZE:  # native rc=1
+        raise FormatError("qoi: short stream")
     p = QOI_HEADER_SIZE
-    chunks_len = len(data) - QOI_PADDING_SIZE
+    chunks_len = n - QOI_PADDING_SIZE
     index = [0] * 64
     px = 0x000000FF
     cols, cnts = [], []
@@ -705,10 +708,14 @@ def _record_scan_py(data: bytes, pixel_count: int):
         p += 1
         cnt = 1
         if b1 == 0xFE:
+            if p + 3 > n:  # native rc=2 (truncated op tail)
+                raise FormatError("qoi: truncated op")
             px = (data[p] << 24) | (data[p + 1] << 16) | (data[p + 2] << 8) \
                 | (px & 0xFF)
             p += 3
         elif b1 == 0xFF:
+            if p + 4 > n:
+                raise FormatError("qoi: truncated op")
             px = (data[p] << 24) | (data[p + 1] << 16) | (data[p + 2] << 8) \
                 | data[p + 3]
             p += 4
@@ -722,6 +729,8 @@ def _record_scan_py(data: bytes, pixel_count: int):
                 b = (((px >> 8) & 0xFF) + (b1 & 3) - 2) & 0xFF
                 px = (r << 24) | (g << 16) | (b << 8) | (px & 0xFF)
             elif tag == 0x80:
+                if p >= n:
+                    raise FormatError("qoi: truncated op")
                 b2 = data[p]
                 p += 1
                 dg = (b1 & 0x3F) - 32
@@ -875,6 +884,8 @@ class QoiLanePlan:
 def _lane_scan_py(data: bytes, npx: int, P: int):
     """Pure-Python twin of zpix_qoi_lane_scan: derive lane entries from
     the Python record scan (ZPIX_NATIVE=0 path)."""
+    if P <= 0 or P > 32767:  # native rc=4: entries are int16 local spans
+        raise UnsupportedError(f"qoi: lane_p {P} outside int16 span range")
     cols, cnts, fill = _record_scan_py(data, npx)
     ends = np.cumsum(cnts.astype(np.int64))
     starts = ends - cnts
@@ -952,6 +963,7 @@ def prep_qoi_lanes(datas: list[bytes], P: int | None = None,
     if not datas:
         raise ValueError("qoi: empty batch")
     P = P or int(_os.environ.get("ZPIX_QOI_LANE_P", "32"))
+    P = min(P, 32767)  # entries carry int16 local spans (native rc=4)
     w, h, _c, _cs = _parse_header(datas[0])
     npx = w * h
     for d in datas[1:]:

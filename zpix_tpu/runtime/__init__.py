@@ -25,7 +25,7 @@ _SRCS = [
     os.path.join(_HERE, "inflate.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 17
+_ABI_VERSION = 18
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -257,6 +257,31 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int32),  # block_bit_off out
                 ctypes.POINTER(ctypes.c_uint8),  # block_eob_entry out
                 ctypes.POINTER(ctypes.c_uint16),  # eob_run_out
+                ctypes.POINTER(ctypes.c_int64),  # end_bit_out
+            ]
+            lib.zpix_prog_dc_first_index.restype = ctypes.c_int
+            lib.zpix_prog_dc_first_index.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),  # destuffed scan bytes
+                ctypes.c_int64,  # nbytes
+                ctypes.POINTER(HuffTableC),  # dc tables (CmpTables order)
+                ctypes.POINTER(ctypes.c_int32),  # tid_of_slot [bpm]
+                ctypes.c_int32,  # bpm
+                ctypes.c_int64,  # nblk
+                ctypes.POINTER(ctypes.c_int32),  # ends_out [nblk]
+                ctypes.POINTER(ctypes.c_int64),  # end_bit_out
+            ]
+            lib.zpix_prog_ac_first_index.restype = ctypes.c_int
+            lib.zpix_prog_ac_first_index.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),  # destuffed scan bytes
+                ctypes.c_int64,  # nbytes
+                ctypes.POINTER(HuffTableC),  # ac table
+                ctypes.c_int32,  # ss
+                ctypes.c_int32,  # se
+                ctypes.c_int64,  # nvalid
+                ctypes.POINTER(ctypes.c_int32),  # starts_out [nvalid]
+                ctypes.POINTER(ctypes.c_int32),  # ends_out [nvalid]
+                ctypes.POINTER(ctypes.c_uint8),  # hasdata_out [nvalid]
+                ctypes.POINTER(ctypes.c_uint8),  # nzmask_io or NULL
                 ctypes.POINTER(ctypes.c_int64),  # end_bit_out
             ]
             lib.zpix_baseline_index_scan.restype = ctypes.c_int

@@ -1448,6 +1448,140 @@ int zpix_baseline_index_scan(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 17; }
+// ---------------------------------------------------------------------
+// Progressive FIRST-scan INDEX passes (round-5 host/device split).
+//
+// The speculative chunk fixed points that decoded DC-first/AC-first
+// scans on-chip dominate progressive cost (RESULTS_r4.md); the same
+// lengths-only host walk that took restart-free baseline from 40 to
+// 474 MPix/s (zpix_baseline_index_scan above) applies directly.  Each
+// pass walks one DESTUFFED scan decoding symbol LENGTHS only and emits
+// per-block bit offsets; the device value passes
+// (progressive_onchip.build_dc_first_value_fn / build_ac_first_value_fn)
+// then re-decode every block independently from those exact offsets,
+// and their `agree` verification (lane end == host end) re-derives the
+// walk bit-for-bit.
+//
+// Reference semantics: /root/reference/src/jpeg/decoder.zig:1362-1412
+// (spectral-selection scans); length accounting mirrors the device
+// sym_step EXACTLY, including the overflow rule (a size>0 symbol with
+// k+r > se ends the block consuming only its code bits).
+
+// DC-first (Ss=0, Ah=0): one DC symbol + extend bits per block
+// (decoder.zig:1366-1376).  huffs = CmpTables-ordered DC tables;
+// tid_of_slot cycles through the MCU's block slots (len 1 for
+// single-component scans).  ends_out[i] = absolute end bit of block i.
+int zpix_prog_dc_first_index(
+    const uint8_t* stream, int64_t nbytes,
+    const HuffTable* huffs, const int32_t* tid_of_slot, int32_t bpm,
+    int64_t nblk, int32_t* ends_out, int64_t* end_bit_out) {
+  for (int32_t s = 0; s < bpm; s++)
+    ensure_lut16(const_cast<HuffTable*>(&huffs[tid_of_slot[s]]));
+  const int64_t nbits = nbytes * 8;
+  int64_t bit = 0;
+  auto peek16 = [&]() -> uint32_t {
+    const int64_t byte = bit >> 3;
+    const uint32_t w = (uint32_t(stream[byte]) << 24)
+        | (uint32_t(stream[byte + 1]) << 16)
+        | (uint32_t(stream[byte + 2]) << 8) | uint32_t(stream[byte + 3]);
+    return (w >> (16 - (bit & 7))) & 0xFFFF;
+  };
+  int32_t slot = 0;
+  for (int64_t i = 0; i < nblk; i++) {
+    // every block of a valid scan STARTS before the stream end (the
+    // encoder's padding bits live inside the last byte), so this also
+    // bounds overread to < 5 bytes past nbytes (caller pads >= 8)
+    if (bit >= nbits) return ERR_EOF;
+    const HuffTable* hd = &huffs[tid_of_slot[slot]];
+    uint16_t e = hd->lut16[peek16()];
+    if (!e) return ERR_BAD_HUFFMAN;
+    int val = e >> 5;
+    if (val > 16) return ERR_EXCESSIVE_DC;
+    bit += (e & 31) + val;  // code + skipped extend bits
+    ends_out[i] = int32_t(bit);
+    if (++slot >= bpm) slot = 0;
+  }
+  *end_bit_out = bit;
+  return OK;
+}
+
+// AC-first (Ss>0, Ah=0, single component): per-block spectral walk with
+// EOB runs (decoder.zig:1379-1412).  Emits each DATA block's [start,
+// end) bit span and hasdata=1; EOB-covered blocks consume no bits and
+// get hasdata=0 (the device value lane idles and skips the agree
+// check).  nzmask_io (optional, [nvalid * 64] zigzag flags) accumulates
+// the nonzero pattern each emitted coefficient creates, so later AC
+// REFINEMENT index passes (zpix_prog_refine_index) can seed their masks
+// host-side with NO device store fetch.
+int zpix_prog_ac_first_index(
+    const uint8_t* stream, int64_t nbytes, const HuffTable* ac,
+    int32_t ss, int32_t se, int64_t nvalid,
+    int32_t* starts_out, int32_t* ends_out, uint8_t* hasdata_out,
+    uint8_t* nzmask_io, int64_t* end_bit_out) {
+  ensure_lut16(const_cast<HuffTable*>(ac));
+  const int64_t nbits = nbytes * 8;
+  int64_t bit = 0;
+  auto peek16 = [&]() -> uint32_t {
+    const int64_t byte = bit >> 3;
+    const uint32_t w = (uint32_t(stream[byte]) << 24)
+        | (uint32_t(stream[byte + 1]) << 16)
+        | (uint32_t(stream[byte + 2]) << 8) | uint32_t(stream[byte + 3]);
+    return (w >> (16 - (bit & 7))) & 0xFFFF;
+  };
+  uint32_t eob_run = 0;
+  for (int64_t bi = 0; bi < nvalid; bi++) {
+    if (eob_run > 0) {
+      eob_run--;
+      starts_out[bi] = int32_t(bit);
+      ends_out[bi] = int32_t(bit);
+      hasdata_out[bi] = 0;
+      continue;
+    }
+    starts_out[bi] = int32_t(bit);
+    hasdata_out[bi] = 1;
+    int32_t k = ss;
+    while (true) {
+      // valid symbols START before the stream end; bounds overread to
+      // < 5 bytes past nbytes (caller pads >= 8)
+      if (bit >= nbits) return ERR_EOF;
+      uint16_t e = ac->lut16[peek16()];
+      if (!e) return ERR_BAD_HUFFMAN;
+      int sym = e >> 5;
+      int len = e & 31;
+      int r = sym >> 4, sz = sym & 15;
+      if (sz == 0) {
+        if (r < 15) {  // EOB: run-length extra bits are length-counted
+          bit += len;
+          uint32_t extra = 0;
+          for (int t = 0; t < r; t++) {
+            extra = (extra << 1)
+                | ((stream[bit >> 3] >> (7 - (bit & 7))) & 1);
+            bit++;
+          }
+          eob_run = ((1u << r) | extra) - 1;  // current block included
+          break;
+        }
+        bit += len;  // ZRL
+        k += 16;
+        if (k > se) break;
+      } else {
+        if (k + r > se) {  // device overflow rule: code bits only
+          bit += len;
+          break;
+        }
+        k += r;
+        if (nzmask_io) nzmask_io[bi * 64 + k] = 1;
+        bit += len + sz;
+        k++;
+        if (k > se) break;
+      }
+    }
+    ends_out[bi] = int32_t(bit);
+  }
+  *end_bit_out = bit;
+  return OK;
+}
+
+int zpix_entropy_abi_version() { return 18; }
 
 }  // extern "C"
