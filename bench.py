@@ -575,16 +575,22 @@ def main_png(batch: int, size: int, steps: int):
             best = min(best, time.perf_counter() - t0)
             del allb
         total_mb = stacked.nbytes / 1e6
+        dev_rate = steps * mpix / best
+        ser_rate = steps * mpix / (best + up_best + host_best)
         print(
             f"# png staged path | batch={batch} size={size} steps={steps} "
             f"front={front} backend={jax.devices()[0].platform} | host "
             f"front-end {steps * mpix / host_best:.0f} MPix/s | staged "
-            f"upload {total_mb / up_best:.0f} MB/s | serialized "
-            f"host+upload+compute "
-            f"{steps * mpix / (best + up_best + host_best):.0f} MPix/s",
+            f"upload {total_mb / up_best:.0f} MB/s | device leg "
+            f"{dev_rate:.0f} MPix/s | serialized host+upload+compute "
+            f"{ser_rate:.0f} MPix/s",
             file=sys.stderr,
         )
-        return steps * mpix / best
+        # The HEADLINE is the honest full-decode number (round-4
+        # VERDICT item 3): every stage serialized — host inflate(+parse,
+        # +defilter for front=host), upload, device compute.  The
+        # device-leg rate prints above as the footnote figure.
+        return ser_rate
 
     dec = BatchPngDecoder(
         device_defilter=front == "defilter",
@@ -627,9 +633,13 @@ def main_sync(batch: int, size: int, steps: int):
 
     mpix = batch * size * size / 1e6
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    # the measured-overlap leg needs its own never-executed buffers (the
+    # terminal replays cached (program, inputs) pairs in ~0.1 ms)
+    pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
+    n_pools = steps * trials * (2 if pipeline else 1)
     pools = [
         [make_bench_jpeg(size, seed=s * batch + j) for j in range(batch)]
-        for s in range(steps * trials)
+        for s in range(n_pools)
     ]
     digest = make_digest()
 
@@ -662,6 +672,11 @@ def main_sync(batch: int, size: int, steps: int):
             for p in pools[1 : trials * steps]
         ]
         host_s = (time.perf_counter() - t_h) / max(1, len(plans) - 1)
+        if pipeline:  # overlap-leg buffers: fresh content, never executed
+            plans += [
+                prep_batch_host_index(p, cap_hint=hint)
+                for p in pools[trials * steps :]
+            ]
         lay0 = (plan0.cache_key, plan0.packed.shape)
         bufs = [
             dec._put(p) for p in plans
@@ -689,13 +704,53 @@ def main_sync(batch: int, size: int, steps: int):
         assert bool(ok), "host-index decode failed verification"
         dev_s = best
         ser = mpix / (host_s + dev_s)
-        pipe = mpix / max(host_s, dev_s)
+        # MEASURED overlap (round-4 VERDICT item 3): re-run the trials
+        # with the host index pass of every batch executing on a worker
+        # thread UNDER the device passes — the real production pipeline
+        # shape on this 2-core host (contention included).  Uploads stay
+        # staged per the bench methodology; only host CPU work overlaps.
+        pipe_txt = ""
+        if os.environ.get("BENCH_PIPELINE", "1") == "1":
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            exp = _TPE(max_workers=1)
+            times_p = []
+            done2 = done  # overlap leg times only never-executed buffers
+            for t in range(trials):
+                todo = bufs[done2 : done2 + steps]
+                if not todo:
+                    break
+                t0 = time.perf_counter()
+                acc = jnp.uint32(101 + t)
+                futs = []
+                for j, b in enumerate(todo):
+                    futs.append(exp.submit(
+                        prep_batch_host_index,
+                        pools[(done2 + j) % len(pools)], cap_hint=hint,
+                    ))
+                    out, ok = fn(*b)
+                    acc = dig_hi(acc, out)
+                for f in futs:
+                    f.result()
+                _ = int(acc)
+                times_p.append((time.perf_counter() - t0) / len(todo))
+                done2 += len(todo)
+            exp.shutdown()
+            if times_p:
+                times_p.sort()
+                pipe_m = mpix / times_p[len(times_p) // 2]
+                pipe_txt = (
+                    f", MEASURED overlapped {pipe_m:.0f} MPix/s "
+                    f"(host pass under device pass, median-of-"
+                    f"{len(times_p)})"
+                )
         print(
             f"# restart-free host-index path | batch={batch} size={size} "
             f"steps={steps} backend={jax.devices()[0].platform} | host "
             f"index {host_s * 1e3:.0f} ms/batch ({mpix / host_s:.0f} "
             f"MPix/s), device {dev_s * 1e3:.0f} ms/batch "
-            f"({mpix / dev_s:.0f} MPix/s), pipelined {pipe:.0f} MPix/s",
+            f"({mpix / dev_s:.0f} MPix/s), serialized {ser:.0f}"
+            f"{pipe_txt}",
             file=sys.stderr,
         )
         return ser
@@ -840,10 +895,12 @@ def main_qoi(batch: int, size: int, steps: int):
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     # +1 pool: pools[0] is warm-only for the hostindex path (the terminal
     # replays cached (program, inputs) pairs in ~0.1 ms, so the warmed
-    # buffer must not re-enter the timed set)
+    # buffer must not re-enter the timed set); the measured-overlap leg
+    # doubles the pool for the same reason
+    _qoi_pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
     pools = [
         [make_bench_qoi(size, seed=s * batch + j) for j in range(batch)]
-        for s in range(steps * trials + 1)
+        for s in range(steps * trials * (2 if _qoi_pipeline else 1) + 1)
     ]
 
     if os.environ.get("BENCH_QOI_IMPL", "hostindex") == "hostindex":
@@ -879,7 +936,7 @@ def main_qoi(batch: int, size: int, steps: int):
         hint = plan0.R
         plans = [plan0] + [
             prep_qoi_lanes(p, lane_p, r_hint=hint)
-            for p in pools[1 : trials * steps + 1]
+            for p in pools[1:]
         ]
         # steady-state host pass: production double-buffers, so time
         # refills of ONE reused buffer set (a fresh 100+ MB allocation
@@ -938,6 +995,43 @@ def main_qoi(batch: int, size: int, steps: int):
         times.sort()
         dev_s = times[len(times) // 2]  # median-of-N (round-3 item 8)
         ser = mpix / (host_s + dev_s)
+        # MEASURED overlap (round-4 VERDICT item 3): host lane passes
+        # refill the reuse buffers on a worker thread UNDER the device
+        # expands (2-core contention included; uploads stay staged).
+        pipe_txt = ""
+        if os.environ.get("BENCH_PIPELINE", "1") == "1" and len(bufs) > 1:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            exp = _TPE(max_workers=1)
+            times_p = []
+            done2 = done  # overlap leg times only never-executed buffers
+            for t in range(trials):
+                todo = bufs[done2 : done2 + steps]
+                if not todo:
+                    break
+                t0 = time.perf_counter()
+                acc = jnp.uint32(201 + t)
+                futs = []
+                for j, b in enumerate(todo):
+                    futs.append(exp.submit(
+                        prep_qoi_lanes, pools[(done2 + j) % len(pools)],
+                        lane_p, r_hint=hint, out=reuse,
+                    ))
+                    acc = dig_hi(acc, fn(*b))
+                for f in futs:
+                    f.result()
+                _ = int(acc)
+                times_p.append((time.perf_counter() - t0) / len(todo))
+                done2 += len(todo)
+            exp.shutdown()
+            if times_p:
+                times_p.sort()
+                pipe_m = mpix / times_p[len(times_p) // 2]
+                pipe_txt = (
+                    f", MEASURED overlapped {pipe_m:.0f} MPix/s "
+                    f"(host pass under device pass, median-of-"
+                    f"{len(times_p)})"
+                )
         rec_mb = (plan0.cols.nbytes + plan0.s.nbytes + plan0.e.nbytes) / 1e6
         print(
             f"# qoi host-index path | batch={batch} size={size} "
@@ -945,8 +1039,8 @@ def main_qoi(batch: int, size: int, steps: int):
             f"backend={jax.devices()[0].platform} | host lane pass "
             f"{host_s * 1e3:.0f} ms/batch ({mpix / host_s:.0f} "
             f"MPix/s), device expand {dev_s * 1e3:.0f} ms/batch "
-            f"({mpix / dev_s:.0f} MPix/s), serialized {ser:.0f}, "
-            f"pipelined {mpix / max(host_s, dev_s):.0f} MPix/s | entries "
+            f"({mpix / dev_s:.0f} MPix/s), serialized {ser:.0f}"
+            f"{pipe_txt} | entries "
             f"{rec_mb:.0f} MB/batch upload {up_s * 1e3:.0f} ms "
             f"({rec_mb / up_s:.0f} MB/s)",
             file=sys.stderr,
@@ -1112,8 +1206,13 @@ def main_prog(batch: int, size: int, steps: int):
         )
         return steps * mpix / best
 
+    # BENCH_PROG_IMPL: "onchip" (decoder default = round-5 hostindex
+    # split), "spec" (chip-resident speculative fixed points), "delta"
+    # (round-2 host-Huffman sparse deltas, handled above).
+    impl = os.environ.get("BENCH_PROG_IMPL", "onchip")
     dec = OnchipProgressiveDecoder(
-        chunk_bytes=int(os.environ.get("BENCH_PROG_CHUNK", "64"))
+        chunk_bytes=int(os.environ.get("BENCH_PROG_CHUNK", "64")),
+        impl=None if impl in ("onchip", "hostindex") else impl,
     )
     dec.salt = 999999
     out, ok = dec.decode(datas)
@@ -1132,8 +1231,9 @@ def main_prog(batch: int, size: int, steps: int):
         best = min(best, time.perf_counter() - t0)
     tail = getattr(dec, "n_host_tail_scans", None)
     print(
-        f"# progressive on-chip path | batch={batch} size={size} "
-        f"steps={steps} backend={jax.devices()[0].platform} "
+        f"# progressive on-chip path (impl={dec.impl}) | batch={batch} "
+        f"size={size} steps={steps} "
+        f"backend={jax.devices()[0].platform} "
         f"| host-tail scans: {tail} (AC refinements use the host-index/"
         f"device-value split when 0)",
         file=sys.stderr,
@@ -1231,16 +1331,19 @@ def main():
     if os.environ.get("BENCH_MODE", "onchip") == "png":
         mpix_s = main_png(batch, size, steps)
         front = os.environ.get("ZPIX_PNG_FRONT", "host")
+        staged_png = os.environ.get("BENCH_STAGED", "1") == "1"
         if front == "host":
-            # host front leaves only RGB->RGBA expansion on device —
-            # label it as the stage it times, not as "PNG decode"
-            # (round-3 VERDICT: the 3142 number is not a decode number)
-            png_name = "batched PNG RGB8 expansion stage (host inflate+defilter untimed)"
+            png_name = "batched PNG RGB8 full decode (host libdeflate+defilter, device expand)"
         elif front == "defilter":
-            png_name = "batched PNG RGB8 decode (device defilter+expand, host inflate)"
+            png_name = "batched PNG RGB8 full decode (host libdeflate inflate, device defilter+expand)"
         else:
             png_name = "batched PNG RGB8 decode (two-pass device inflate)"
-        if os.environ.get("BENCH_STAGED", "1") == "1":
+        if staged_png and front in ("host", "defilter"):
+            # staged fronts now return the SERIALIZED end-to-end rate
+            # (host + upload + device compute) — the honest full-decode
+            # number; the device-leg rate prints in the stage table
+            png_name += " (serialized)"
+        elif staged_png:
             png_name += " (HBM-staged rows)"
         print(
             json.dumps(

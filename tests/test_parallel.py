@@ -605,6 +605,7 @@ def test_decode_mixed_corpus():
     paths = [
         os.path.join(td, "video-001.jpeg"),
         os.path.join(td, "video-001.progressive.jpeg"),
+        os.path.join(td, "video-001.cmyk.jpeg"),
         os.path.join(td, "video-005.gray.jpeg"),
         os.path.join(td, "video-001.bmp"),
         os.path.join(td, "bmp_4bpp.bmp"),
@@ -636,10 +637,10 @@ def test_decode_mixed_corpus():
 
     outs, stats = decode_mixed(bufs[:-1], return_stats=True)
     assert load_batch(paths)[0].shape == outs[0].shape  # path API parity
-    # every device-eligible bucket must actually take the device path:
-    # only the progressive JPEG routes to the host by design
-    assert stats.get("device", 0) == len(paths) - 1, stats
-    assert stats == {"device": len(paths) - 1, "host-routed": 1}, stats
+    # EVERY bucket takes a device path (round-5: progressive routes
+    # through the host-index OnchipProgressiveDecoder, 4-component
+    # through the batched YCCK/CMYK graphs + toRGBA)
+    assert stats == {"device": len(paths)}, stats
     qout, qstats = decode_mixed([qoi_data], return_stats=True)
     assert qstats.get("device", 0) == 1, qstats
     outs.append(qout[0])

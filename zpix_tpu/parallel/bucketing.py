@@ -14,10 +14,11 @@ Bucket keys per codec:
 * PNG  — (width, height, bit depth × color type, interlace): the
   layout contract of BatchPngDecoder.
 * JPEG — (width, height, per-component sampling, progressive): the
-  geometry BatchJpegDecoder stacks on.  Progressive and 4-component
-  (CMYK/YCCK) streams route to the host decoder: their batched device
-  outputs mirror the host plane semantics rather than the RGBA
-  flatten, and mixed corpora are dominated by baseline YCbCr anyway.
+  geometry BatchJpegDecoder stacks on.  Baseline (incl. 4-component
+  CMYK/YCCK, whose batched planes get the Color.toRGBA cmyk arm
+  applied) and progressive (OnchipProgressiveDecoder host-index
+  split) both take device paths; only progressive 4-component streams
+  host-route.
 * QOI  — (width, height).
 * BMP  — (width, height, orientation, bpp, header version).
 
@@ -169,12 +170,45 @@ def _decode_bucket(kind: str, key, datas: list[bytes], mesh, min_batch: int):
                 "device"
         if kind == "jpeg":
             ncomp, progressive = key[3], key[5]
-            if progressive or ncomp == 4:
+            if progressive and ncomp == 4:
+                # no batched path for progressive CMYK/YCCK
                 return [_host_rgba(d) for d in datas], "host-routed"
+            if progressive:
+                # round-5 host-index split: C++ per-scan index passes +
+                # small device value passes; ok=False (corrupt stream /
+                # failed bit-exact verification) -> host decode
+                from .progressive_onchip import OnchipProgressiveDecoder
+
+                out, ok = OnchipProgressiveDecoder().decode(datas)
+                if bool(ok):
+                    return list(_to_rgba(out)), "device"
+                import logging
+
+                logging.getLogger("zpix_tpu").warning(
+                    "decode_mixed: progressive device decode failed "
+                    "verification on a %d-image bucket (key=%r); host "
+                    "fallback", len(datas), key,
+                )
+                return [_host_rgba(d) for d in datas], "host-error"
             from .batch import BatchJpegDecoder
 
-            return list(_to_rgba(BatchJpegDecoder(mesh=mesh).decode(datas))), \
-                "device"
+            out = BatchJpegDecoder(mesh=mesh).decode(datas)
+            if ncomp == 4:
+                # batched YCCK/CMYK outputs the host CMYKImage's planes;
+                # apply the Color.toRGBA cmyk arm (color.zig:115-121)
+                from ..color import cmyk_to_rgba16
+
+                arr = np.asarray(out)
+                r, g, b = cmyk_to_rgba16(
+                    arr[..., 0], arr[..., 1], arr[..., 2], arr[..., 3]
+                )
+                rgba = np.empty(arr.shape, np.uint8)
+                rgba[..., 0] = r >> 8
+                rgba[..., 1] = g >> 8
+                rgba[..., 2] = b >> 8
+                rgba[..., 3] = 255
+                return list(rgba), "device"
+            return list(_to_rgba(out)), "device"
         if kind == "qoi":
             # host-index split: the C++ lane pass + device expansion is
             # exact by construction (no ok flag) and the production
