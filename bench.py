@@ -915,6 +915,7 @@ def main_qoi(batch: int, size: int, steps: int):
         from zpix_tpu.parallel.qoi_batch import (
             build_qoi_lane_expand_fn,
             prep_qoi_lanes,
+            prep_qoi_lanes4,
         )
 
         digest = make_digest()
@@ -932,26 +933,50 @@ def main_qoi(batch: int, size: int, steps: int):
                 "BENCH_QOI_LANE_P", "16" if content == "noise" else "256"
             )
         )
-        plan0 = prep_qoi_lanes(pools[0], lane_p)
+        # entry format: "auto" (default) stages packed (r,g,b,start) u8
+        # granules on opaque content — HALF the wide form's link bytes
+        # (round-4 VERDICT item 8); "wide" pins the 8 B/entry form
+        fmt_req = os.environ.get("BENCH_QOI_FMT", "auto")
+        plan0 = None
+        if fmt_req in ("auto", "p4"):
+            plan0 = prep_qoi_lanes4(pools[0], lane_p)
+        if plan0 is None:
+            plan0 = prep_qoi_lanes(pools[0], lane_p)
+        fmt = plan0.fmt
         hint = plan0.R
-        plans = [plan0] + [
-            prep_qoi_lanes(p, lane_p, r_hint=hint)
-            for p in pools[1:]
-        ]
+
+        def prep(datas, out=None):
+            if fmt == "p4":
+                return prep_qoi_lanes4(datas, lane_p, r_hint=hint, out=out)
+            return prep_qoi_lanes(datas, lane_p, r_hint=hint, out=out)
+
+        plans = [plan0] + [prep(p) for p in pools[1:]]
+        n_none = sum(1 for p in plans if p is None)
+        if n_none:
+            print(
+                f"# WARNING: {n_none} batches fell off the {fmt} entry "
+                f"format (alpha content); dropped from the timed set",
+                file=sys.stderr,
+            )
+            plans = [p for p in plans if p is not None]
         # steady-state host pass: production double-buffers, so time
         # refills of ONE reused buffer set (a fresh 100+ MB allocation
         # pays ~3x in first-touch page faults; reuse is exact — the
         # fill overwrites every slot)
         reuse = (
-            np.empty_like(plan0.cols),
-            np.empty_like(plan0.s),
-            np.empty_like(plan0.e),
+            np.empty_like(plan0.p4)
+            if fmt == "p4"
+            else (
+                np.empty_like(plan0.cols),
+                np.empty_like(plan0.s),
+                np.empty_like(plan0.e),
+            )
         )
-        prep_qoi_lanes(pools[0], lane_p, r_hint=hint, out=reuse)  # touch
+        prep(pools[0], out=reuse)  # touch
         t_h = time.perf_counter()
         n_h = min(3, len(pools))
         for k in range(n_h):
-            prep_qoi_lanes(pools[k], lane_p, r_hint=hint, out=reuse)
+            prep(pools[k], out=reuse)
         host_s = (time.perf_counter() - t_h) / n_h
         lay0 = (plan0.batch, plan0.P, plan0.R)
         n_before = len(plans)
@@ -965,14 +990,17 @@ def main_qoi(batch: int, size: int, steps: int):
                 file=sys.stderr,
             )
         t_u = time.perf_counter()
-        bufs = [
-            (
-                jax.device_put(p.cols),
-                jax.device_put(p.s),
-                jax.device_put(p.e),
-            )
-            for p in plans
-        ]
+        if fmt == "p4":
+            bufs = [(jax.device_put(p.p4),) for p in plans]
+        else:
+            bufs = [
+                (
+                    jax.device_put(p.cols),
+                    jax.device_put(p.s),
+                    jax.device_put(p.e),
+                )
+                for p in plans
+            ]
         jax.block_until_ready(bufs)
         up_s = (time.perf_counter() - t_u) / max(1, len(bufs))
         fn = build_qoi_lane_expand_fn(plan0)
@@ -1014,8 +1042,7 @@ def main_qoi(batch: int, size: int, steps: int):
                 futs = []
                 for j, b in enumerate(todo):
                     futs.append(exp.submit(
-                        prep_qoi_lanes, pools[(done2 + j) % len(pools)],
-                        lane_p, r_hint=hint, out=reuse,
+                        prep, pools[(done2 + j) % len(pools)], reuse,
                     ))
                     acc = dig_hi(acc, fn(*b))
                 for f in futs:
@@ -1032,10 +1059,16 @@ def main_qoi(batch: int, size: int, steps: int):
                     f"(host pass under device pass, median-of-"
                     f"{len(times_p)})"
                 )
-        rec_mb = (plan0.cols.nbytes + plan0.s.nbytes + plan0.e.nbytes) / 1e6
+        rec_mb = (
+            plan0.p4.nbytes
+            if fmt == "p4"
+            else plan0.cols.nbytes + plan0.s.nbytes + plan0.e.nbytes
+        ) / 1e6
+        bpp = rec_mb * 1e6 / (batch * size * size)
         print(
             f"# qoi host-index path | batch={batch} size={size} "
-            f"steps={steps} lane_p={lane_p} R={plan0.R} "
+            f"steps={steps} lane_p={plan0.P} R={plan0.R} fmt={fmt} "
+            f"({bpp:.2f} B/px staged) "
             f"backend={jax.devices()[0].platform} | host lane pass "
             f"{host_s * 1e3:.0f} ms/batch ({mpix / host_s:.0f} "
             f"MPix/s), device expand {dev_s * 1e3:.0f} ms/batch "

@@ -276,6 +276,79 @@ def test_lane_scan_py_rejects_int16_overflow_lane_p():
     assert npx % plan.P == 0
 
 
+def test_hostindex_p4_parity_and_half_bytes():
+    """The packed (r,g,b,start) lane format must decode bit-identically
+    to the wide form on opaque content, at HALF the staged bytes."""
+    from zpix_tpu.parallel.qoi_batch import (
+        HostIndexQoiDecoder,
+        prep_qoi_lanes,
+        prep_qoi_lanes4,
+    )
+
+    imgs = [i for i in _images() if np.all(i[..., 3] == 255)]
+    assert imgs, "need opaque fixtures"
+    datas = [_enc(i) for i in imgs[:1] * 3]
+    p4 = prep_qoi_lanes4(datas, 16)
+    wide = prep_qoi_lanes(datas, 16)
+    assert p4 is not None and p4.fmt == "p4"
+    assert p4.p4.nbytes * 2 <= wide.cols.nbytes + wide.s.nbytes + \
+        wide.e.nbytes + 8  # 4 B/entry vs 8 (same R bucket)
+    d_p4 = HostIndexQoiDecoder(lane_fmt="p4", lane_p=16)
+    d_w = HostIndexQoiDecoder(lane_fmt="wide", lane_p=16)
+    a = np.asarray(d_p4.decode(datas))
+    b = np.asarray(d_w.decode(datas))
+    assert np.array_equal(a, b)
+    assert np.array_equal(a[0], host_decode(datas[0]).pix)
+
+
+def test_hostindex_p4_auto_falls_back_on_alpha():
+    """lane_fmt='auto' must fall back to the wide form (exactly, not
+    wrongly) when the stream carries non-opaque colors."""
+    from zpix_tpu.parallel.qoi_batch import (
+        HostIndexQoiDecoder,
+        prep_qoi_lanes4,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 16, 4), np.uint8)  # alpha varies
+    data = _enc(img)
+    assert prep_qoi_lanes4([data], 16) is None
+    dec = HostIndexQoiDecoder(lane_fmt="auto", lane_p=16)
+    out = np.asarray(dec.decode([data]))
+    assert np.array_equal(out[0], host_decode(data).pix)
+    with pytest.raises(Exception):
+        HostIndexQoiDecoder(lane_fmt="p4", lane_p=16).decode([data])
+
+
+def test_hostindex_p4_native_vs_python():
+    """The C++ fill4 and the Python assembly must produce identical
+    packed arrays (native-vs-python differential invariant)."""
+    from zpix_tpu import runtime
+    from zpix_tpu.parallel.qoi_batch import _lane_scan_py, prep_qoi_lanes4
+
+    lib = runtime.get_lib()
+    if lib is None or not hasattr(lib, "zpix_qoi_lane_fill4"):
+        pytest.skip("native runtime unavailable")
+    img = next(i for i in _images() if np.all(i[..., 3] == 255))
+    data = _enc(img)
+    npx = img.shape[0] * img.shape[1]
+    P = 16 if npx % 16 == 0 else 8
+    plan = prep_qoi_lanes4([data], P)
+    assert plan is not None
+    n_lanes = npx // plan.P
+    cols, ls, _le, lane = _lane_scan_py(data, npx, plan.P)
+    want = np.zeros((n_lanes, plan.R, 4), np.uint8)
+    want[:, :, 3] = plan.P
+    cnt = np.bincount(lane, minlength=n_lanes)
+    first = np.cumsum(cnt) - cnt
+    slot = np.arange(len(cols)) - first[lane]
+    want[lane, slot, 0] = (cols >> 24).astype(np.uint8)
+    want[lane, slot, 1] = ((cols >> 16) & 0xFF).astype(np.uint8)
+    want[lane, slot, 2] = ((cols >> 8) & 0xFF).astype(np.uint8)
+    want[lane, slot, 3] = ls.astype(np.uint8)
+    assert np.array_equal(plan.p4.reshape(n_lanes, plan.R, 4), want)
+
+
 def test_hostindex_qoi_truncated_fill():
     """Stream exhausts early -> remaining pixels replicate the final
     decoder px (decoder.zig:67-69), applied as the device fill color."""

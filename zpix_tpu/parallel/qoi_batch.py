@@ -874,11 +874,18 @@ class QoiLanePlan:
     width: int
     height: int
     P: int
-    cols: np.ndarray  # [Lt, R] uint32
+    cols: np.ndarray  # [Lt, R] uint32 (fmt="wide"; None for "p4")
     s: np.ndarray  # [Lt, R] int16 local start (>= e means empty slot)
     e: np.ndarray  # [Lt, R] int16 local end
     batch: int
     R: int
+    # fmt="p4" (round-5 upload trim): entries are (r, g, b, start) u8
+    # granules in ONE [Lt, R*4] array — half the wide form's bytes on
+    # ~1-entry/px content.  Ends are implicit (e[r] = s[r+1], last = P;
+    # pad slots carry the sentinel s = P).  Opaque streams with
+    # P <= 255 only; prep_qoi_lanes4 returns None otherwise.
+    fmt: str = "wide"
+    p4: np.ndarray | None = None
 
 
 def _lane_scan_py(data: bytes, npx: int, P: int):
@@ -1054,6 +1061,116 @@ def prep_qoi_lanes(datas: list[bytes], P: int | None = None,
         R = tight
 
 
+def prep_qoi_lanes4(datas: list[bytes], P: int | None = None,
+                    r_hint: int | None = None,
+                    out: np.ndarray | None = None) -> QoiLanePlan | None:
+    """Packed-4-byte lane prep (round-5 upload trim): each entry is an
+    (r, g, b, start) uint8 granule — 4 B/entry vs the wide form's 8 —
+    with implicit ends (entries tile every lane contiguously, so
+    e[r] = s[r+1] and the last real entry ends at P).  Applies to
+    OPAQUE streams with P <= 255; returns None when the content needs
+    the wide form (the caller falls back to prep_qoi_lanes).  `out`:
+    optional [Lt, R*4] array from a prior same-layout plan to refill
+    in place (same double-buffer rationale as prep_qoi_lanes)."""
+    import ctypes
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import runtime
+
+    if not datas:
+        raise ValueError("qoi: empty batch")
+    P = P or int(_os.environ.get("ZPIX_QOI_LANE_P", "32"))
+    P = min(P, 255)  # starts are uint8; sentinel = P
+    w, h, _c, _cs = _parse_header(datas[0])
+    npx = w * h
+    for d in datas[1:]:
+        w2, h2, _c2, _cs2 = _parse_header(d)
+        if (w2, h2) != (w, h):
+            raise UnsupportedError("qoi: mixed dimensions in batch")
+    if npx % P:
+        P = next(q for q in range(min(P, npx), 0, -1) if npx % q == 0)
+    n_lanes = npx // P
+    B = len(datas)
+    Lt = B * n_lanes
+
+    lib = runtime.get_lib()
+    nthreads = min(B, _os.cpu_count() or 2)
+
+    if lib is None or not hasattr(lib, "zpix_qoi_lane_fill4"):
+        # pure-Python fallback (ZPIX_NATIVE=0): derive from the record
+        # scan, bail to the wide form on any non-opaque color
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            parts = list(ex.map(lambda d: _lane_scan_py(d, npx, P), datas))
+        if any(
+            not np.all((c & np.uint32(0xFF)) == 0xFF) for c, *_ in parts
+        ):
+            return None
+        need = max(
+            int(np.bincount(lane, minlength=n_lanes).max())
+            for _c2, _s2, _e2, lane in parts
+        )
+        R = _bucket8(max(need, r_hint or 0))
+        p4 = np.zeros((Lt, R, 4), np.uint8)
+        p4[:, :, 3] = P  # sentinel
+        for i, (c, ls, _le, lane) in enumerate(parts):
+            cnt = np.bincount(lane, minlength=n_lanes)
+            first = np.cumsum(cnt) - cnt
+            slot = np.arange(len(c)) - first[lane]
+            row = i * n_lanes + lane
+            p4[row, slot, 0] = (c >> 24).astype(np.uint8)
+            p4[row, slot, 1] = ((c >> 16) & 0xFF).astype(np.uint8)
+            p4[row, slot, 2] = ((c >> 8) & 0xFF).astype(np.uint8)
+            p4[row, slot, 3] = ls.astype(np.uint8)
+        return QoiLanePlan(w, h, P, None, None, None, B, R,
+                           fmt="p4", p4=p4.reshape(Lt, R * 4))
+
+    if r_hint:
+        R = _bucket8(r_hint)
+    else:
+        est = max(len(d) for d in datas) / 2.9 / n_lanes
+        R = _bucket8(int(est * 1.25) + 2)
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bail = [False]
+    while True:
+        if out is not None and out.shape == (Lt, R * 4):
+            p4 = out
+        else:
+            p4 = np.empty((Lt, R * 4), np.uint8)
+
+        def fill(i):
+            d = datas[i]
+            off = i * n_lanes * R * 4
+            need = ctypes.c_int32()
+            fillpx = ctypes.c_uint32()
+            rc = lib.zpix_qoi_lane_fill4(
+                d, len(d), npx, P, R,
+                ctypes.cast(p4.ctypes.data + off, u8p),
+                ctypes.byref(need), ctypes.byref(fillpx),
+            )
+            if rc == 5:  # non-opaque: wide-form content
+                bail[0] = True
+                return 0
+            if rc not in (0, 3):
+                raise FormatError(f"qoi: lane fill4 failed (rc={rc})")
+            return need.value
+
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            needs = list(ex.map(fill, range(B)))
+        if bail[0]:
+            return None
+        tight = _bucket8(max(max(needs), r_hint or 0))
+        if max(needs) <= R:
+            if tight < R and not r_hint:
+                out = None
+                R = tight
+                continue
+            return QoiLanePlan(w, h, P, None, None, None, B, R,
+                               fmt="p4", p4=p4)
+        R = tight
+
+
 def build_qoi_lane_expand_fn(plan: QoiLanePlan, mesh=None):
     """jit fn(cols [Lt,R] u32, s [Lt,R] i16, e [Lt,R] i16) -> rgba
     [B,H,W,4] uint8 — gather-free run expansion: each lane's P pixels
@@ -1073,6 +1190,64 @@ def build_qoi_lane_expand_fn(plan: QoiLanePlan, mesh=None):
 
         shrow = NamedSharding(mesh, PS("batch"))  # [Lt, R]: lanes batch-major
         shcol = NamedSharding(mesh, PS(None, "batch"))
+
+    if plan.fmt == "p4":
+        # packed (r, g, b, start) granules: rebuild the u32 colors and
+        # the implicit ends (e[r] = s[r+1], last = P) on device — a few
+        # cheap [R, Lt] VPU ops buy half the staged bytes
+        def fn4(p4_lr):
+            if shrow is not None:
+                p4_lr = jax.lax.with_sharding_constraint(p4_lr, shrow)
+            t = jnp.transpose(
+                p4_lr.reshape(p4_lr.shape[0], R, 4), (1, 2, 0)
+            )  # [R, 4, Lt] lanes minor
+            if shrow is not None:
+                t = jax.lax.with_sharding_constraint(
+                    t, NamedSharding(mesh, PS(None, None, "batch"))
+                )
+            u32 = jnp.uint32
+            cols = (
+                (t[:, 0].astype(u32) << 24)
+                | (t[:, 1].astype(u32) << 16)
+                | (t[:, 2].astype(u32) << 8)
+                | u32(0xFF)
+            )  # [R, Lt]
+            s = t[:, 3].astype(jnp.int16)
+            e = jnp.concatenate(
+                [s[1:], jnp.full((1, s.shape[1]), P, jnp.int16)], axis=0
+            )
+            return _expand(cols, s, e)
+
+        def _expand(cols, s, e):
+            p = jnp.arange(P, dtype=jnp.int16)
+            m = (p[None, :, None] >= s[:, None, :]) & (
+                p[None, :, None] < e[:, None, :]
+            )
+            out = jnp.sum(
+                jnp.where(m, cols[:, None, :], jnp.uint32(0)),
+                axis=0, dtype=jnp.uint32,
+            )
+            if shrow is not None:
+                out = jax.lax.with_sharding_constraint(out, shcol)
+            packed = out.T.reshape(B, npx)
+            rgba = jnp.stack(
+                [
+                    (packed >> 24).astype(jnp.uint8),
+                    ((packed >> 16) & 0xFF).astype(jnp.uint8),
+                    ((packed >> 8) & 0xFF).astype(jnp.uint8),
+                    (packed & 0xFF).astype(jnp.uint8),
+                ],
+                axis=-1,
+            ).reshape(B, plan.height, plan.width, 4)
+            if mesh is not None:
+                from jax.sharding import NamedSharding as NS
+
+                rgba = jax.lax.with_sharding_constraint(
+                    rgba, NS(mesh, PS("batch"))
+                )
+            return rgba
+
+        return jax.jit(fn4)
 
     def fn(cols_lr, s_lr, e_lr):
         if shrow is not None:
@@ -1144,16 +1319,24 @@ class HostIndexQoiDecoder:
     form is pure VPU).  impl="sorted" keeps the searchsorted graph
     (fine on CPU, and a useful differential).  lane_p: pixels per lane
     (must divide width*height); smaller P cuts device compute on
-    dense-op content, larger P cuts upload bytes on run-heavy content."""
+    dense-op content, larger P cuts upload bytes on run-heavy content.
+
+    lane_fmt="auto" (default): opaque batches with P <= 255 stage
+    packed (r, g, b, start) u8 granules — HALF the wide form's bytes
+    over the link (prep_qoi_lanes4) — with automatic per-batch
+    fallback to the wide (col u32 + s/e i16) form on alpha content.
+    "wide"/"p4" pin the format."""
 
     def __init__(self, *, mesh=None, impl: str = "lane",
-                 lane_p: int | None = None):
+                 lane_p: int | None = None, lane_fmt: str = "auto"):
         self.mesh = mesh
         self.impl = impl
         self.lane_p = lane_p
+        self.lane_fmt = lane_fmt
         self._fns: dict = {}
         self._rcap_hint = 0
         self._r_hint = 0
+        self._r4_hint = 0
 
     def decode(self, datas: list[bytes],
                plan: "QoiRecordPlan | QoiLanePlan | None" = None):
@@ -1163,18 +1346,29 @@ class HostIndexQoiDecoder:
 
         if self.impl == "lane":
             with trace("qoi_hostindex.prep"):
+                if plan is None and self.lane_fmt in ("auto", "p4"):
+                    plan = prep_qoi_lanes4(datas, self.lane_p,
+                                           self._r4_hint or None)
+                    if plan is None and self.lane_fmt == "p4":
+                        raise UnsupportedError(
+                            "qoi: lane_fmt='p4' needs opaque content "
+                            "(alpha in stream) — use 'auto' or 'wide'"
+                        )
                 if plan is None:
                     plan = prep_qoi_lanes(datas, self.lane_p,
                                           self._r_hint or None)
-            self._r_hint = max(self._r_hint, plan.R)
             metrics.count("qoi_hostindex.images", plan.batch)
-            key = ("lane", plan.width, plan.height, plan.batch, plan.P,
-                   plan.R)
+            key = ("lane", plan.fmt, plan.width, plan.height, plan.batch,
+                   plan.P, plan.R)
             fn = self._fns.get(key)
             if fn is None:
                 fn = build_qoi_lane_expand_fn(plan, mesh=self.mesh)
                 self._fns[key] = fn
             put = self._put
+            if plan.fmt == "p4":
+                self._r4_hint = max(self._r4_hint, plan.R)
+                return fn(put(plan.p4))
+            self._r_hint = max(self._r_hint, plan.R)
             return fn(put(plan.cols), put(plan.s), put(plan.e))
 
         with trace("qoi_hostindex.prep"):

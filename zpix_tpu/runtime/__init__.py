@@ -25,7 +25,7 @@ _SRCS = [
     os.path.join(_HERE, "inflate.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 18
+_ABI_VERSION = 19
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
@@ -176,6 +176,17 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_int16),
                 ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
+            lib.zpix_qoi_lane_fill4.restype = ctypes.c_int
+            lib.zpix_qoi_lane_fill4.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),  # p4 [n_lanes*R*4]
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint32),
             ]

@@ -1582,6 +1582,6 @@ int zpix_prog_ac_first_index(
   return OK;
 }
 
-int zpix_entropy_abi_version() { return 18; }
+int zpix_entropy_abi_version() { return 19; }
 
 }  // extern "C"

@@ -424,6 +424,134 @@ int zpix_qoi_lane_fill(const uint8_t* __restrict data, int64_t len,
   return overflow ? 3 : 0;
 }
 
+// Packed-4-byte lane fill (round-5 upload trim): same walk as
+// zpix_qoi_lane_fill, but each entry is (r, g, b, start) in ONE uint8
+// granule — half the staged bytes of the wide (u32 col + i16 s + i16 e)
+// form on QOI's worst-case ~1-entry-per-pixel content.  The end offsets
+// are IMPLICIT: records tile every lane contiguously, so
+// e[r] = s[r+1] and the lane's last real entry always ends at P; pad
+// slots carry the sentinel s = P (p < P never reaches it).  Applies
+// only when P <= 255 (start fits uint8) and every emitted color is
+// OPAQUE (alpha folds into a device constant): a stream that touches
+// alpha returns rc=5 and the caller falls back to the wide form.
+// Returns 0 ok / 1 short / 2 truncated / 3 R overflow (need_r_out
+// still reports the true max) / 4 bad P or R / 5 non-opaque.
+int zpix_qoi_lane_fill4(const uint8_t* __restrict data, int64_t len,
+                        int64_t pixel_count, int32_t P, int32_t R,
+                        uint8_t* __restrict p4_out,
+                        int32_t* need_r_out, uint32_t* fill_out) {
+  constexpr int64_t kHeader = 14, kPadding = 8;
+  if (len < kHeader + kPadding) return 1;
+  if (P <= 0 || P > 255 || R <= 0) return 4;
+  const int64_t n_lanes = (pixel_count + P - 1) / P;
+  int64_t p = kHeader;
+  const int64_t chunks_len = len - kPadding;
+  const int64_t fast_end = chunks_len - 5;
+  Px index[64];
+  memset(index, 0, sizeof(index));
+  Px px{0, 0, 0, 255};
+  int64_t total = 0;
+  int64_t cur_lane = 0;
+  int32_t cur_cnt = 0;
+  int32_t need_r = 0;
+  bool overflow = false;
+  bool alpha_seen = false;
+
+  auto pad_lane = [&](int64_t lane, int32_t from) {
+    if (overflow) return;
+    uint8_t* lp = p4_out + lane * R * 4;
+    for (int32_t k = from; k < R; k++) {
+      lp[k * 4 + 0] = 0;
+      lp[k * 4 + 1] = 0;
+      lp[k * 4 + 2] = 0;
+      lp[k * 4 + 3] = uint8_t(P);  // sentinel: mask never fires
+    }
+  };
+
+  auto emit_span = [&](const Px& c, int64_t start, int64_t end) {
+    if (c.a != 255) alpha_seen = true;
+    for (int64_t lane = start / P; lane * P < end; lane++) {
+      if (lane != cur_lane) {
+        pad_lane(cur_lane, cur_cnt);
+        cur_lane = lane;
+        cur_cnt = 0;
+      }
+      if (cur_cnt < R && !overflow) {
+        uint8_t* ep = p4_out + (lane * R + cur_cnt) * 4;
+        int64_t ls = start - lane * P;
+        if (ls < 0) ls = 0;
+        ep[0] = c.r;
+        ep[1] = c.g;
+        ep[2] = c.b;
+        ep[3] = uint8_t(ls);
+      } else {
+        overflow = true;
+      }
+      cur_cnt++;
+      if (cur_cnt > need_r) need_r = cur_cnt;
+    }
+  };
+
+  while (total < pixel_count && p < chunks_len) {
+    uint8_t b1 = data[p++];
+    int64_t cnt = 1;
+    if (__builtin_expect(b1 == 0xFE, 0)) {  // OP_RGB
+      if (p > fast_end && p + 3 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      p += 3;
+    } else if (__builtin_expect(b1 == 0xFF, 0)) {  // OP_RGBA
+      if (p > fast_end && p + 4 > len) return 2;
+      px.r = data[p];
+      px.g = data[p + 1];
+      px.b = data[p + 2];
+      px.a = data[p + 3];
+      p += 4;
+    } else {
+      switch (b1 & 0xC0) {
+        case 0x00:  // OP_INDEX
+          px = index[b1 & 0x3F];
+          break;
+        case 0x40:  // OP_DIFF
+          px.r = uint8_t(px.r + ((b1 >> 4) & 3) - 2);
+          px.g = uint8_t(px.g + ((b1 >> 2) & 3) - 2);
+          px.b = uint8_t(px.b + (b1 & 3) - 2);
+          break;
+        case 0x80: {  // OP_LUMA
+          if (p > fast_end && p >= len) return 2;
+          uint8_t b2 = data[p++];
+          int dg = int(b1 & 0x3F) - 32;
+          px.r = uint8_t(px.r + dg + ((b2 >> 4) & 0xF) - 8);
+          px.g = uint8_t(px.g + dg);
+          px.b = uint8_t(px.b + dg + (b2 & 0xF) - 8);
+          break;
+        }
+        default:  // OP_RUN
+          cnt = (b1 & 0x3F) + 1;
+      }
+    }
+    index[index_pos(px)] = px;
+    if (__builtin_expect(total + cnt > pixel_count, 0))
+      cnt = pixel_count - total;
+    emit_span(px, total, total + cnt);
+    if (alpha_seen) return 5;
+    total += cnt;
+  }
+  uint32_t fill = (uint32_t(px.r) << 24) | (uint32_t(px.g) << 16) |
+                  (uint32_t(px.b) << 8) | uint32_t(px.a);
+  if (total < pixel_count) {  // stream-exhausted tail (decoder.zig:67-69)
+    emit_span(px, total, pixel_count);
+    if (alpha_seen) return 5;
+    total = pixel_count;
+  }
+  pad_lane(cur_lane, cur_cnt);
+  for (int64_t l = cur_lane + 1; l < n_lanes; l++) pad_lane(l, 0);
+  *need_r_out = need_r;
+  *fill_out = fill;
+  return overflow ? 3 : 0;
+}
+
 // Encode pixel_count pixels (channels 3 or 4) into out (caller-sized to
 // pixel_count * (channels + 1) + 22).  Writes ops only (no header/padding);
 // returns bytes written, or -1 on overflow.
