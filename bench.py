@@ -1248,6 +1248,108 @@ def main_prog(batch: int, size: int, steps: int):
         impl=None if impl in ("onchip", "hostindex") else impl,
     )
     dec.salt = 999999
+
+    if dec.impl == "hostindex":
+        # Round-5 fused path: host prep (parse + C++ index walks) ->
+        # ONE packed super buffer -> ONE fused device dispatch for the
+        # whole scan script.  Same staged methodology as the flagship:
+        # all step buffers upload before timing (byte-distinct via the
+        # salt), the fused dispatch chain is timed with the digest, and
+        # host + upload rates print for the serialized number — which
+        # is the returned headline (prep is real per-batch work).
+        pr0 = dec.prep(datas)
+        if pr0 is not None:
+            out, ok = dec.run(pr0)  # warm the fused program
+            _ = int(dig(jnp.uint32(0), out))
+            assert bool(ok), "progressive hostindex failed on warmup"
+            t_h = time.perf_counter()
+            prs = []
+            for i in range(steps * trials):
+                dec.salt = i
+                pr = dec.prep(datas)
+                assert pr is not None, "prog prep failed mid-loop"
+                prs.append(pr)
+            host_s = (time.perf_counter() - t_h) / len(prs)
+            t_u = time.perf_counter()
+            sups = [jax.device_put(p["sup"]) for p in prs]
+            jax.block_until_ready(sups)
+            up_s = (time.perf_counter() - t_u) / len(sups)
+            times = []
+            for t in range(trials):
+                t0 = time.perf_counter()
+                acc = jnp.uint32(t + 1)
+                for i in range(steps):
+                    out, ok = dec.run(
+                        prs[t * steps + i], sup_dev=sups[t * steps + i]
+                    )
+                    acc = dig(acc, out)
+                _ = int(acc)
+                times.append((time.perf_counter() - t0) / steps)
+            assert bool(ok), "progressive hostindex failed verification"
+            times.sort()
+            dev_s = times[len(times) // 2]
+            # headline = serialized host + device (the same methodology
+            # as BENCH_MODE=sync: the host prep is real per-batch work
+            # and is timed; the staged upload prints alongside — the
+            # tunnel's degraded H2D is not the production link)
+            ser = mpix / (host_s + dev_s)
+            # MEASURED overlap: host preps run on a worker thread UNDER
+            # the fused dispatches, on a SECOND staged buffer set (the
+            # serialized trials already executed the first set and the
+            # terminal replays cached (program, inputs) pairs)
+            pipe_txt = ""
+            if os.environ.get("BENCH_PIPELINE", "1") == "1":
+                from concurrent.futures import ThreadPoolExecutor as _TPE
+
+                prs2 = []
+                for i in range(steps * trials):
+                    dec.salt = 10000 + i
+                    prs2.append(dec.prep(datas))
+                sups2 = [jax.device_put(p["sup"]) for p in prs2]
+                jax.block_until_ready(sups2)
+                exp = _TPE(max_workers=1)
+                times_p = []
+                idx = 0
+                for t in range(trials):
+                    t0 = time.perf_counter()
+                    acc = jnp.uint32(101 + t)
+                    futs = []
+                    for i in range(steps):
+                        j = idx + i
+                        dec.salt = 20000 + j
+                        futs.append(exp.submit(dec.prep, datas))
+                        out, ok = dec.run(prs2[j], sup_dev=sups2[j])
+                        acc = dig(acc, out)
+                    for f in futs:
+                        f.result()
+                    _ = int(acc)
+                    times_p.append((time.perf_counter() - t0) / steps)
+                    idx += steps
+                exp.shutdown()
+                if times_p:
+                    times_p.sort()
+                    pipe_m = mpix / times_p[len(times_p) // 2]
+                    pipe_txt = (
+                        f", MEASURED overlapped {pipe_m:.0f} MPix/s "
+                        f"(host prep under fused dispatch, median-of-"
+                        f"{len(times_p)})"
+                    )
+            sup_mb = prs[0]["sup"].nbytes / 1e6
+            print(
+                f"# progressive on-chip path (impl=hostindex, FUSED "
+                f"script program) | batch={batch} size={size} "
+                f"steps={steps} backend={jax.devices()[0].platform} | "
+                f"host prep {host_s * 1e3:.0f} ms/batch "
+                f"({mpix / host_s:.0f} MPix/s), fused device dispatch "
+                f"{dev_s * 1e3:.0f} ms/batch ({mpix / dev_s:.0f} "
+                f"MPix/s), serialized host+device {ser:.0f} MPix/s"
+                f"{pipe_txt} | staged upload {sup_mb:.1f} MB/batch "
+                f"{up_s * 1e3:.0f} ms ({sup_mb / up_s:.0f} MB/s) | "
+                f"host-tail scans: 0",
+                file=sys.stderr,
+            )
+            return ser
+
     out, ok = dec.decode(datas)
     acc = dig(jnp.uint32(0), out)
     _ = int(acc)  # warm all scan kernels + recon

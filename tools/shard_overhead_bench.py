@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Real-chip sharding-overhead bound (round-4 VERDICT item 6).
+
+The >= 85% scaling target (BASELINE.md) cannot be measured on real
+multi-chip hardware from this host (one tunneled chip), and the virtual
+CPU mesh measures 2-core oversubscription, not sharding.  This tool
+gives the target a measured basis from what IS available:
+
+1. **chip leg (default, JAX_PLATFORMS=axon)** — the flagship back-end
+   graph runs on the real chip twice, interleaved A/B in ONE process
+   (cross-process drift is +-6%): (a) plain jit, (b) the same graph
+   under a 1-device ('batch','stripe') Mesh with the production
+   sharding constraints.  Identical per-device work; any delta is the
+   cost of the sharding machinery itself.  Expected: noise.
+2. **cpu leg (SHOLD_MODE=cpu)** — compiles the SAME sharded graph over
+   a virtual 8-device mesh and COUNTS collective ops in the optimized
+   HLO.  Expected: zero (batch/stripe sharding of the decode is
+   embarrassingly parallel; no cross-shard reads).
+
+Together: per-shard compute is unchanged by sharding (measured, chip),
+and the sharded program inserts zero collectives at n=8 (compiled
+HLO), so scaling loss on a real slice can come only from input
+distribution — the host-side bucketing already shards per host.
+
+Usage:
+    python tools/shard_overhead_bench.py            # chip timing leg
+    SHOLD_MODE=cpu python tools/shard_overhead_bench.py  # HLO count leg
+"""
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODE = os.environ.get("SHOLD_MODE", "chip")
+if MODE == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+COLLECTIVES = re.compile(
+    r"all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all"
+)
+
+
+def build(batch, mesh=None):
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zpix_tpu.parallel.batch import _ycbcr_graph, parse_coefficients
+
+    data = open(
+        "/root/reference/src/testdata/video-001.q50.420.jpeg", "rb"
+    ).read()
+    fe = parse_coefficients(data)
+    cy = np.stack([fe.coeffs[0]] * batch)
+    ccb = np.stack([fe.coeffs[1]] * batch)
+    ccr = np.stack([fe.coeffs[2]] * batch)
+    qy, qcb, qcr = (np.stack([fe.quants[c]] * batch) for c in range(3))
+    kw = dict(height=fe.height, width=fe.width, ratio=fe.ratio)
+    args = (cy, ccb, ccr, qy, qcb, qcr)
+
+    if mesh is None:
+        fn = jax.jit(lambda *a: _ycbcr_graph(*a, **kw))
+        return fn, args, fe
+
+    bsh = NamedSharding(mesh, P("batch"))
+
+    def sharded(*a):
+        a = tuple(jax.lax.with_sharding_constraint(x, bsh) for x in a)
+        out = _ycbcr_graph(*a, **kw)
+        return jax.lax.with_sharding_constraint(out, bsh)
+
+    fn = jax.jit(sharded)
+    args = tuple(jax.device_put(x, bsh) for x in args)
+    return fn, args, fe
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_platforms", os.environ.get("JAX_PLATFORMS", "axon")
+        )
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zpix_tpu.parallel.mesh import make_mesh
+
+    batch = int(os.environ.get("SHOLD_BATCH", "4"))
+
+    if MODE == "cpu":
+        mesh = make_mesh(jax.devices(), batch=len(jax.devices()), stripe=1)
+        fn, args, fe = build(len(jax.devices()), mesh)
+        txt = fn.lower(*args).compile().as_text()
+        hits = COLLECTIVES.findall(txt)
+        print(
+            f"# n={len(jax.devices())} virtual-mesh optimized HLO: "
+            f"{len(hits)} collective ops "
+            f"({sorted(set(hits)) if hits else 'NONE — embarrassingly '
+             'parallel, scaling bounded only by input distribution'})"
+        )
+        return
+
+    import faulthandler
+
+    faulthandler.dump_traceback_later(1200, exit=True)
+    trials = int(os.environ.get("SHOLD_TRIALS", "5"))
+    steps = int(os.environ.get("SHOLD_STEPS", "6"))
+    mesh = make_mesh(jax.devices()[:1], batch=1, stripe=1)
+    fn_plain, args_p, fe = build(batch)
+    fn_shard, args_s, _ = build(batch, mesh)
+    mpix = batch * fe.height * fe.width / 1e6
+
+    def dig(acc, out):
+        return acc * jnp.uint32(16777619) ^ jnp.sum(
+            out.astype(jnp.uint32)
+        ).astype(jnp.uint32)
+
+    digj = jax.jit(dig)
+    # warm both programs
+    _ = int(digj(jnp.uint32(0), fn_plain(*args_p)))
+    _ = int(digj(jnp.uint32(0), fn_shard(*args_s)))
+    res = {"plain": [], "shard": []}
+    for t in range(trials):
+        order = (
+            [("plain", fn_plain, args_p), ("shard", fn_shard, args_s)]
+            if t % 2 == 0
+            else [("shard", fn_shard, args_s), ("plain", fn_plain, args_p)]
+        )
+        for name, fn, args in order:
+            t0 = time.perf_counter()
+            acc = jnp.uint32(t + 1)
+            for _i in range(steps):
+                acc = digj(acc, fn(*args))
+            _ = int(acc)
+            res[name].append((time.perf_counter() - t0) / steps)
+    for name in ("plain", "shard"):
+        ts = sorted(res[name])
+        med = ts[len(ts) // 2]
+        print(
+            f"# {name}: median {med * 1e3:.2f} ms/step "
+            f"({mpix / med:.0f} MPix/s), best {ts[0] * 1e3:.2f}"
+        )
+    mp = sorted(res["plain"])[trials // 2]
+    ms = sorted(res["shard"])[trials // 2]
+    print(
+        f"# sharding-machinery overhead at n=1, identical per-device "
+        f"work: {(ms / mp - 1) * 100:+.1f}% (interleaved in-process A/B; "
+        f"the compiled sharded program has zero collectives — see the "
+        f"SHOLD_MODE=cpu leg)"
+    )
+
+
+if __name__ == "__main__":
+    main()

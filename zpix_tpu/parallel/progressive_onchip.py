@@ -1195,6 +1195,22 @@ class OnchipProgressiveDecoder:
         )
         self._fns: dict = {}
         self._recon_fns: dict = {}
+        self._geom: dict = {}
+        self._pool_ = None
+
+    @property
+    def _pool(self):
+        """Shared worker pool for per-image host passes (a fresh
+        ThreadPoolExecutor per scan cost ~ms in spawn/join x10+ scans
+        per prep)."""
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool_ is None:
+            self._pool_ = ThreadPoolExecutor(
+                max_workers=_os.cpu_count() or 2
+            )
+        return self._pool_
 
     # ---------------- host-side geometry helpers
 
@@ -1210,21 +1226,25 @@ class OnchipProgressiveDecoder:
 
     def _mcu_grid_idx(self, plan: ProgPlan, scan_comps: tuple) -> list:
         """Per scan component: flat grid index of each of its blocks in
-        MCU-interleaved stream order (decoder.py:520-523)."""
+        MCU-interleaved stream order (decoder.py:520-523).  Vectorized +
+        cached: prep() runs per batch and the scalar triple loop cost
+        ~ms at 4k MCUs."""
+        key = ("grid", plan.mxx, plan.myy, plan.hv, tuple(scan_comps))
+        hit = self._geom.get(key)
+        if hit is not None:
+            return hit
         out = []
         for c in scan_comps:
             hc, vc = plan.hv[c]
             bw = plan.mxx * hc
-            idxs = np.empty(plan.mxx * plan.myy * hc * vc, np.int64)
-            t = 0
-            for my in range(plan.myy):
-                for mx in range(plan.mxx):
-                    for j in range(hc * vc):
-                        bxx = hc * mx + (j % hc)
-                        byy = vc * my + (j // hc)
-                        idxs[t] = byy * bw + bxx
-                        t += 1
+            my = np.arange(plan.myy)[:, None, None]
+            mx = np.arange(plan.mxx)[None, :, None]
+            j = np.arange(hc * vc)[None, None, :]
+            idxs = (
+                (vc * my + j // hc) * bw + hc * mx + j % hc
+            ).reshape(-1).astype(np.int64)
             out.append(idxs)
+        self._geom[key] = out
         return out
 
     def _stack_streams(self, streams: list) -> tuple:
@@ -1233,7 +1253,9 @@ class OnchipProgressiveDecoder:
         for s in streams:
             offs.append(total)
             total += (len(s) + 7) // 8 * 8
-        cap = 1 << max(12, (total + 64 - 1).bit_length())
+        # 64 KiB buckets (NOT pow2): cap is upload bytes — pow2 shipped
+        # up to 2x zeros per scan row over the tunnel
+        cap = max(4096, -(-(total + 64) // 65536) * 65536)
         flat = np.zeros(cap, np.uint8)
         for s, o in zip(streams, offs):
             flat[o : o + len(s)] = s
@@ -1243,10 +1265,15 @@ class OnchipProgressiveDecoder:
             # progressive tables are content-baked, so honest repeat
             # timing salts the semantically-inert tail of the packed
             # buffer (never decoded: every lane stops at its image's
-            # bit end) to make each step's inputs byte-distinct.
+            # bit end) to make each step's inputs byte-distinct.  256
+            # bytes suffice for distinctness; salting the whole tail
+            # cost ~ms of RNG per scan per prep.
             tail0 = min(total + 8, cap)
+            n_salt = min(cap - tail0, 256)
             rng = np.random.RandomState(self.salt & 0x7FFFFFFF)
-            flat[tail0:] = rng.randint(0, 256, cap - tail0, dtype=np.uint8)
+            flat[tail0 : tail0 + n_salt] = rng.randint(
+                0, 256, n_salt, dtype=np.uint8
+            )
         starts = np.array([o * 8 for o in offs], np.int64)
         ends = np.array(
             [(o + len(s)) * 8 for o, s in zip(offs, streams)], np.int64
@@ -1427,11 +1454,8 @@ class OnchipProgressiveDecoder:
                 ctypes.byref(endb),
             )
 
-        with ThreadPoolExecutor(
-            max_workers=min(B, _os.cpu_count() or 2)
-        ) as ex:
-            if any(rc != 0 for rc in ex.map(one, range(B))):
-                return None
+        if any(rc != 0 for rc in self._pool.map(one, range(B))):
+            return None
         starts = np.empty((B, nblk), np.int32)
         starts[:, 0] = 0
         starts[:, 1:] = ends[:, :-1]
@@ -1498,11 +1522,8 @@ class OnchipProgressiveDecoder:
                 ctypes.byref(endb),
             )
 
-        with ThreadPoolExecutor(
-            max_workers=min(B, _os.cpu_count() or 2)
-        ) as ex:
-            if any(rc != 0 for rc in ex.map(one, range(B))):
-                return None
+        if any(rc != 0 for rc in self._pool.map(one, range(B))):
+            return None
         flat, bstarts, _be, _F = self._stack_streams(streams)
         cap = int(flat.shape[0])
         b32 = bstarts[:, None].astype(np.int32)
@@ -1532,45 +1553,69 @@ class OnchipProgressiveDecoder:
         rows: list = []
         for si, sc in enumerate(p0.scans):
             kind = sc.kind
-            if kind == "dc_refine":
-                preps[si] = (None, None)
-                continue
             if kind in ("ac_first", "ac_refine") and len(sc.comps) != 1:
                 return None  # malformed (AC scans are single-component)
             if kind == "dc_first":
                 meta = self._prep_dc_first(plans, si, lib)
             elif kind == "ac_first":
                 meta = self._prep_ac_first(plans, si, masks, lib)
-            else:  # ac_refine
+            elif kind == "ac_refine":
                 meta = self._prep_ac_refine(
                     plans, si, masks, eob_runs, None
                 )
+                if meta is not None:
+                    meta["kind"] = "acr"
+            else:  # dc_refine: raw bit rows, device unpack
+                meta = self._prep_dc_refine_rows(plans, si)
             if meta is None:
                 return None
             preps[si] = (len(rows), meta)
             rows.append(meta["packed"])
-        if not rows:
-            return preps, None
-        capmax = max(r.shape[0] for r in rows)
-        sup = np.zeros((len(rows), capmax), np.uint8)
-        for i, r in enumerate(rows):
-            sup[i, : r.shape[0]] = r
-        return preps, sup
+        # final row: per-image quant tables (LE i32), so the fused
+        # program needs exactly ONE upload
+        q = np.stack(
+            [np.stack([pl.quants[c] for pl in plans])
+             for c in range(p0.ncomp)]
+        ).astype("<i4")
+        rows.append(q.reshape(-1).view(np.uint8))
+        # FLAT concatenation with static per-row offsets (not a padded
+        # [rows, capmax] matrix: the biggest scan's row would size every
+        # row — measured 11.5 MB vs ~4 flat at 16x512², r5_prog1/2) —
+        # the fused program slices each row at its baked offset.  Total
+        # pads to a 64 KiB multiple so same-script batches share one
+        # compiled program.
+        offs = []
+        off = 0
+        for r in rows:
+            offs.append(off)
+            off += int(r.shape[0])
+        total = -(-off // 65536) * 65536
+        sup = np.zeros(total, np.uint8)
+        for r, o in zip(rows, offs):
+            sup[o : o + r.shape[0]] = r
+        for si in preps:
+            ri, meta = preps[si]
+            meta["off"] = offs[ri]
+        return preps, sup, offs[-1]
 
-    def _apply_dc_first(self, si, state, sup_dev, row_idx, meta, B, jnp):
-        """Dispatch a DC-first value pass + predictor cumsum + store
-        scatter as ONE jit program reading the super-upload row."""
-        import jax
-
-        nblk = meta["nblk"]
-        cap = meta["cap"]
-        comps = meta["comps"]
+    def _make_update(self, si, row_idx, meta, B, jnp):
+        """Per-scan pure update closure `update(sup, state) -> (state,
+        ok)` on the FULL component-store list, reading the scan's packed
+        buffer out of the super-upload row.  These compose into ONE
+        fused jit program per scan script (_build_fused) — on the
+        tunneled backend every separate dispatch costs a ~2.5 ms RPC
+        round trip, which dominated the per-scan form (r4's 16.5 and
+        the first r5 run's 16.0 MPix/s were dispatch/upload-bound, not
+        compute-bound)."""
+        kind = meta["kind"]
         al = meta["al"]
-        total_len = cap + 8 * B * nblk
-        key = ("dcv", self._cur_key, si, B, row_idx,
-               int(sup_dev.shape[1]), cap)
-        fn = self._fns.get(key)
-        if fn is None:
+        off = meta["off"]  # static offset into the flat super buffer
+        comps = meta["comps"] if kind in ("dc", "dcr") else (meta["c"],)
+
+        if kind == "dc":
+            nblk = meta["nblk"]
+            cap = meta["cap"]
+            total_len = cap + 8 * B * nblk
             kern = build_dc_first_value_fn(
                 batch=B, nblk=nblk, cap=cap, cmp=meta["cmp"],
                 tid_of_slot=meta["tid_of_slot"], W=self.W, _raw=True,
@@ -1581,73 +1626,256 @@ class OnchipProgressiveDecoder:
                 nbs = [hv[c][0] * hv[c][1] for c in comps]
                 bpm = sum(nbs)
 
-                def update(sup, sts):
-                    pk = sup[row_idx, :total_len]
+                def update(sup, state):
+                    pk = sup[off : off + total_len]
                     diffs, ok = kern(pk)
                     d3 = diffs.reshape(B, nblk // bpm, bpm)
-                    out = list(sts)
+                    out = list(state)
                     s0 = 0
                     for i, c in enumerate(comps):
                         seq = d3[:, :, s0 : s0 + nbs[i]].reshape(B, -1)
                         dc = jnp.cumsum(seq, axis=1) << al
                         pos = jnp.asarray(grid_maps[i] * 64)
-                        out[i] = sts[i].at[:, pos].set(dc)
+                        out[c] = state[c].at[:, pos].set(dc)
                         s0 += nbs[i]
-                    return tuple(out), ok
-            else:
-                vidx = meta["pos"]
-                pos_np = vidx.astype(np.int64) * 64
+                    return out, ok
 
-                def update(sup, sts):
-                    pk = sup[row_idx, :total_len]
-                    diffs, ok = kern(pk)
-                    dc = jnp.cumsum(diffs, axis=1) << al
-                    pos = jnp.asarray(pos_np)
-                    return (sts[0].at[:, pos].set(dc),), ok
+                return update
+            vidx = meta["pos"]
+            pos_np = vidx.astype(np.int64) * 64
+            c0 = comps[0]
 
-            fn = jax.jit(update)
-            self._fns[key] = fn
-        new_sts, ok = fn(sup_dev, tuple(state[c] for c in comps))
-        for i, c in enumerate(comps):
-            state[c] = new_sts[i]
-        return ok
+            def update(sup, state):
+                pk = sup[off : off + total_len]
+                diffs, ok = kern(pk)
+                dc = jnp.cumsum(diffs, axis=1) << al
+                out = list(state)
+                out[c0] = state[c0].at[:, jnp.asarray(pos_np)].set(dc)
+                return out, ok
 
-    def _apply_ac_first(self, si, state, sup_dev, row_idx, meta, B, jnp):
-        """Dispatch an AC-first value pass + store scatter-add as ONE
-        jit program reading the super-upload row."""
-        import jax
+            return update
 
-        c = meta["c"]
-        nvalid = meta["nvalid"]
-        nblk_c = meta["nblk_c"]
-        cap = meta["cap"]
-        al = meta["al"]
-        total_len = cap + 12 * B * nvalid
-        key = ("acv", self._cur_key, si, B, row_idx,
-               int(sup_dev.shape[1]), cap)
-        fn = self._fns.get(key)
-        if fn is None:
+        if kind == "ac":
+            c = meta["c"]
+            nvalid = meta["nvalid"]
+            nblk_c = meta["nblk_c"]
+            cap = meta["cap"]
+            total_len = cap + 12 * B * nvalid
             kern = build_ac_first_value_fn(
                 batch=B, nvalid=nvalid, cap=cap,
                 cmp=CmpTables([meta["huff"]]),
                 ss=meta["ss"], se=meta["se"],
                 k2=self.k2, W=self.W, _raw=True,
             )
-            vj = jnp.asarray(meta["vidx"].astype(np.int64))
+            vj_np = meta["vidx"].astype(np.int64)
 
-            def update(sup, st_c):
-                pk = sup[row_idx, :total_len]
+            def update(sup, state):
+                pk = sup[off : off + total_len]
                 curT, ok = kern(pk)
                 vals = jnp.transpose(
                     curT.reshape(64, B, nvalid), (1, 2, 0)
                 ) << al
-                new = st_c.reshape(B, nblk_c, 64).at[:, vj].add(vals)
-                return new.reshape(B, nblk_c * 64), ok
+                new = state[c].reshape(B, nblk_c, 64).at[
+                    :, jnp.asarray(vj_np)
+                ].add(vals)
+                out = list(state)
+                out[c] = new.reshape(B, nblk_c * 64)
+                return out, ok
 
-            fn = jax.jit(update)
-            self._fns[key] = fn
-        state[c], ok = fn(sup_dev, state[c])
-        return ok
+            return update
+
+        if kind == "acr":
+            c = meta["c"]
+            nvalid = meta["nvalid"]
+            nblk_c = meta["nblk_c"]
+            cap = meta["cap"]
+            total_len = cap + 12 * B * nvalid
+            kern = build_ac_refine_fn(
+                batch=B, nvalid=nvalid, cap=cap,
+                cmp=CmpTables([meta["huff"]]),
+                ss=meta["ss"], se=meta["se"], al=meta["al"],
+                k_pos=self.k2, W=self.W, _raw=True,
+            )
+            vj_np = meta["vidx"].astype(np.int64)
+
+            def update(sup, state):
+                pk = sup[off : off + total_len]
+                vj = jnp.asarray(vj_np)
+                cur = state[c].reshape(B, nblk_c, 64)[:, vj]
+                curT = jnp.transpose(cur, (2, 0, 1)).reshape(64, -1)
+                deltaT, ok = kern(pk, curT)
+                d_n = jnp.transpose(
+                    deltaT.reshape(64, B, nvalid), (1, 2, 0)
+                )
+                new = state[c].reshape(B, nblk_c, 64).at[:, vj].add(d_n)
+                out = list(state)
+                out[c] = new.reshape(B, nblk_c * 64)
+                return out, ok
+
+            return update
+
+        # kind == "dcr": one raw bit per block, unpacked on device
+        rowlen = meta["rowlen"]
+        nblk = meta["nblk"]
+        delta_v = 1 << al
+        hv = self._cur_hv
+
+        def update(sup, state):
+            rows = sup[off : off + B * rowlen].reshape(B, rowlen)
+            bits = jnp.unpackbits(rows, axis=1)[:, :nblk]
+            delta = jnp.int32(delta_v)
+            out = list(state)
+            if len(comps) > 1:
+                grid_maps = meta["pos"]
+                bl = [hv[c][0] * hv[c][1] for c in comps]
+                bpm = sum(bl)
+                b3 = bits.reshape(B, nblk // bpm, bpm)
+                s0 = 0
+                for i, c in enumerate(comps):
+                    bseq = b3[:, :, s0 : s0 + bl[i]].reshape(B, -1)
+                    pos = jnp.asarray(grid_maps[i] * 64)
+                    cur = state[c][:, pos]
+                    out[c] = state[c].at[:, pos].set(
+                        jnp.where(bseq > 0, cur | delta, cur)
+                    )
+                    s0 += bl[i]
+            else:
+                c = comps[0]
+                pos = jnp.asarray(meta["pos"].astype(np.int64) * 64)
+                cur = state[c][:, pos]
+                out[c] = state[c].at[:, pos].set(
+                    jnp.where(bits > 0, cur | delta, cur)
+                )
+            return out, jnp.asarray(True)  # okh folds in host-side
+
+        return update
+
+    def _prep_dc_refine_rows(self, plans, s: int):
+        """DC refinement host half: one raw bit per block, packed into a
+        super-upload row (the device half unpacks + ORs 1<<Al)."""
+        p0 = plans[0]
+        sc: ScanInfo = p0.scans[s]
+        B = len(plans)
+        if len(sc.comps) > 1:
+            pos = self._mcu_grid_idx(p0, sc.comps)
+            bpm = sum(p0.hv[c][0] * p0.hv[c][1] for c in sc.comps)
+            nblk = p0.mxx * p0.myy * bpm
+        else:
+            pos = self._valid_idx(p0, sc.comps[0])
+            nblk = len(pos)
+        nbytes = (nblk + 7) // 8
+        pad = 8 if getattr(self, "salt", None) is not None else 0
+        rows = np.zeros((B, nbytes + pad), np.uint8)
+        if pad:
+            rng = np.random.RandomState((self.salt ^ s) & 0x7FFFFFFF)
+            rows[:, nbytes:] = rng.randint(0, 256, (B, pad), dtype=np.uint8)
+        okh = True
+        for b, pl in enumerate(plans):
+            st = pl.scans[s].stream
+            if len(st) < nbytes:
+                okh = False
+                st = np.pad(st, (0, nbytes - len(st)))
+            rows[b, :nbytes] = st[:nbytes]
+        return dict(kind="dcr", packed=rows.reshape(-1),
+                    rowlen=nbytes + pad, nblk=nblk, comps=sc.comps,
+                    al=sc.al, pos=pos, okh=okh)
+
+    def _build_fused(self, preps, plans, B, capmax, q_off):
+        """ONE jit program for the whole scan script: every scan's value
+        pass + store update, then dequant+IDCT+color — a single device
+        dispatch reading a single FLAT packed super upload (each row
+        sliced at a baked static offset; the quants ride the tail)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .batch import _gray_graph, _ycbcr_graph
+
+        key = ("fusedprog", self._cur_key, B, capmax)
+        fn = self._fns.get(key)
+        if fn is not None:
+            return fn
+        p0 = plans[0]
+        ncomp = p0.ncomp
+        shapes = [
+            (p0.myy * p0.hv[c][1], p0.mxx * p0.hv[c][0], 64)
+            for c in range(ncomp)
+        ]
+        updates = [
+            self._make_update(si, preps[si][0], preps[si][1], B, jnp)
+            for si in sorted(preps)
+        ]
+        q_len = ncomp * B * 64 * 4
+
+        def fused(sup):
+            state = [
+                jnp.zeros((B, int(np.prod(shapes[c]))), jnp.int32)
+                for c in range(ncomp)
+            ]
+            ok = jnp.asarray(True)
+            for upd in updates:
+                state, oki = upd(sup, state)
+                ok = ok & oki
+            qb = sup[q_off : q_off + q_len].reshape(
+                ncomp, B, 64, 4
+            ).astype(jnp.int32)
+            quants = [
+                qb[c, :, :, 0] | (qb[c, :, :, 1] << 8)
+                | (qb[c, :, :, 2] << 16) | (qb[c, :, :, 3] << 24)
+                for c in range(ncomp)
+            ]
+            grids = [
+                state[c].reshape((B,) + shapes[c]) for c in range(ncomp)
+            ]
+            if ncomp == 1:
+                out = _gray_graph(
+                    grids[0], quants[0], height=p0.height, width=p0.width
+                )
+            else:
+                out = _ycbcr_graph(
+                    grids[0], grids[1], grids[2], *quants,
+                    height=p0.height, width=p0.width, ratio=p0.ratio,
+                )
+            return out, ok
+
+        fn = jax.jit(fused)
+        self._fns[key] = fn
+        return fn
+
+    def prep(self, datas: list[bytes]):
+        """Host half of the host-index path: parse + C++ index walks +
+        ONE packed super buffer (scan rows ++ quants row).  Returns a
+        dict for run(), or None when the native runtime is missing or
+        an index pass errors (caller uses the speculative path)."""
+        plans = [parse_progressive(d) for d in datas]
+        self._check_batch(plans)
+        hi = self._prep_hostindex(plans)
+        if hi is None:
+            return None
+        preps, sup, q_off = hi
+        okh = all(
+            meta.get("okh", True)
+            for _ri, meta in preps.values()
+            if meta is not None
+        )
+        return dict(plans=plans, preps=preps, sup=sup, okh=okh,
+                    q_off=q_off, key=self._cur_key)
+
+    def run(self, pr, sup_dev=None):
+        """Device half: ONE dispatch of the fused script program.
+        sup_dev: optionally a pre-uploaded (staged) super buffer."""
+        import jax
+
+        plans = pr["plans"]
+        B = len(plans)
+        self._cur_key = pr["key"]
+        self._cur_hv = plans[0].hv
+        fused = self._build_fused(
+            pr["preps"], plans, B, int(pr["sup"].shape[0]), pr["q_off"]
+        )
+        if sup_dev is None:
+            sup_dev = jax.device_put(pr["sup"])
+        out, okd = fused(sup_dev)
+        return out, okd & pr["okh"]
 
     def _run_dc_refine(self, plans, s: int, state, jnp):
         import jax as _jax
@@ -1767,16 +1995,21 @@ class OnchipProgressiveDecoder:
         tab.vals[:] = h.vals
         tab.num_codes = h.num_codes
         streams = [np.ascontiguousarray(pl.scans[s].stream) for pl in plans]
+        # the C++ walk reads 4-byte windows: pad >= 8 readable bytes
+        padded = [
+            np.ascontiguousarray(np.concatenate([st, np.zeros(8, np.uint8)]))
+            for st in streams
+        ]
         offs = np.empty((B, nvalid), np.int32)
         eobs = np.empty((B, nvalid), np.uint8)
 
         def one(b):
-            st = streams[b]
+            st = padded[b]
             ero = ctypes.c_uint16(0)
             endb = ctypes.c_int64(0)
             rc = lib.zpix_prog_refine_index(
                 st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                len(st), ctypes.byref(tab),
+                len(streams[b]), ctypes.byref(tab),
                 masks[(b, c)].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 nvalid, sc.ss, sc.se, np.uint16(eob_runs[b]),
                 offs[b].ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -1785,10 +2018,7 @@ class OnchipProgressiveDecoder:
             )
             return rc, b, ero.value, int(endb.value)
 
-        with ThreadPoolExecutor(
-            max_workers=min(B, _os.cpu_count() or 2)
-        ) as ex:
-            res = list(ex.map(one, range(B)))
+        res = list(self._pool.map(one, range(B)))
         endbs = [0] * B
         for rc, b, ero, endb in res:
             if rc != 0:
@@ -1875,10 +2105,8 @@ class OnchipProgressiveDecoder:
             return jnp.concatenate(outs, axis=0), ok
         return self._decode_chunk(datas)
 
-    def _decode_chunk(self, datas: list[bytes]):
-        import jax
-        import jax.numpy as jnp
-        plans = [parse_progressive(d) for d in datas]
+    def _check_batch(self, plans):
+        """Shared-script validation; sets self._cur_key/_cur_hv."""
         p0 = plans[0]
 
         def script_key(pl):
@@ -1901,6 +2129,7 @@ class OnchipProgressiveDecoder:
 
         k0 = script_key(p0)
         self._cur_key = k0
+        self._cur_hv = p0.hv
         for pl in plans[1:]:
             if script_key(pl) != k0:
                 raise UnsupportedError(
@@ -1912,6 +2141,12 @@ class OnchipProgressiveDecoder:
                 "jpeg: on-chip progressive covers gray/YCbCr"
             )
 
+    def _decode_chunk(self, datas: list[bytes]):
+        import jax
+        import jax.numpy as jnp
+        plans = [parse_progressive(d) for d in datas]
+        p0 = plans[0]
+        self._check_batch(plans)
         B = len(datas)
         shapes = [
             (p0.myy * p0.hv[c][1], p0.mxx * p0.hv[c][0], 64)
@@ -1924,37 +2159,24 @@ class OnchipProgressiveDecoder:
 
         # Round-5 hostindex mode (default): C++ lengths-only index
         # passes for EVERY scan up front (masks + EOB-run state evolve
-        # host-side in script order — zero device store fetches), ONE
-        # super upload, then small per-scan value passes.  Falls back
-        # to the speculative-chunk path on a missing native runtime or
-        # an index-pass error (corrupt stream).
-        self._cur_hv = p0.hv
-        hi = None
+        # host-side in script order — zero device store fetches), then
+        # ONE super upload and ONE fused device dispatch for the whole
+        # script (per-scan dispatches cost a ~2.5 ms RPC each on the
+        # tunneled backend).  Falls back to the speculative-chunk path
+        # on a missing native runtime or an index-pass error.
         if self.impl == "hostindex":
             hi = self._prep_hostindex(plans)
-        if hi is not None:
-            preps, sup = hi
-            sup_dev = jax.device_put(sup) if sup is not None else None
-            ok = jnp.asarray(True)
-            for si in range(len(p0.scans)):
-                kind = p0.scans[si].kind
-                ri, meta = preps[si]
-                if kind == "dc_first":
-                    ok = ok & self._apply_dc_first(
-                        si, state, sup_dev, ri, meta, B, jnp
-                    )
-                elif kind == "ac_first":
-                    ok = ok & self._apply_ac_first(
-                        si, state, sup_dev, ri, meta, B, jnp
-                    )
-                elif kind == "ac_refine":
-                    ok = ok & self._apply_ac_refine(
-                        si, state, sup_dev, ri, meta, B, jnp
-                    )
-                else:
-                    ok = ok & self._run_dc_refine(plans, si, state, jnp)
-            self.n_host_tail_scans = 0
-            return self._reconstruct(plans, state, ok, B, jnp)
+            if hi is not None:
+                preps, sup, q_off = hi
+                okh = all(
+                    meta.get("okh", True)
+                    for _ri, meta in preps.values()
+                    if meta is not None
+                )
+                pr = dict(plans=plans, preps=preps, sup=sup, okh=okh,
+                          q_off=q_off, key=self._cur_key)
+                self.n_host_tail_scans = 0
+                return self.run(pr)
 
         # Speculative-chunk path: device-decodable scans run in script
         # order; AC refinements use the host INDEX pass + device VALUE

@@ -25,7 +25,7 @@ _SRCS = [
     os.path.join(_HERE, "inflate.cpp"),
 ]
 _SO = os.path.join(_HERE, "libzpix_entropy.so")
-_ABI_VERSION = 19
+_ABI_VERSION = 23
 
 ERR_UNSUPPORTED = 100
 ERR_FORMAT = 101
