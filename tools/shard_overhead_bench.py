@@ -68,14 +68,25 @@ def build(batch, mesh=None):
     kw = dict(height=fe.height, width=fe.width, ratio=fe.ratio)
     args = (cy, ccb, ccr, qy, qcb, qcr)
 
+    # every timed call takes a traced step scalar t mixed into the DC
+    # coefficients: same compiled program, step-distinct inputs — the
+    # terminal replays cached (program, inputs) pairs otherwise
     if mesh is None:
-        fn = jax.jit(lambda *a: _ycbcr_graph(*a, **kw))
+
+        def plain(t, *a):
+            a = (a[0].at[:, :, :, 0].add(t),) + a[1:]
+            return _ycbcr_graph(*a, **kw)
+
+        fn = jax.jit(plain)
+        args = tuple(jax.device_put(x) for x in args)  # staged, like
+        # the sharded arm — neither arm times uploads
         return fn, args, fe
 
     bsh = NamedSharding(mesh, P("batch"))
 
-    def sharded(*a):
+    def sharded(t, *a):
         a = tuple(jax.lax.with_sharding_constraint(x, bsh) for x in a)
+        a = (a[0].at[:, :, :, 0].add(t),) + a[1:]
         out = _ycbcr_graph(*a, **kw)
         return jax.lax.with_sharding_constraint(out, bsh)
 
@@ -103,7 +114,9 @@ def main():
     if MODE == "cpu":
         mesh = make_mesh(jax.devices(), batch=len(jax.devices()), stripe=1)
         fn, args, fe = build(len(jax.devices()), mesh)
-        txt = fn.lower(*args).compile().as_text()
+        import jax.numpy as jnp
+
+        txt = fn.lower(jnp.int32(0), *args).compile().as_text()
         hits = COLLECTIVES.findall(txt)
         print(
             f"# n={len(jax.devices())} virtual-mesh optimized HLO: "
@@ -130,9 +143,10 @@ def main():
 
     digj = jax.jit(dig)
     # warm both programs
-    _ = int(digj(jnp.uint32(0), fn_plain(*args_p)))
-    _ = int(digj(jnp.uint32(0), fn_shard(*args_s)))
+    _ = int(digj(jnp.uint32(0), fn_plain(jnp.int32(-1), *args_p)))
+    _ = int(digj(jnp.uint32(0), fn_shard(jnp.int32(-1), *args_s)))
     res = {"plain": [], "shard": []}
+    tick = [0]
     for t in range(trials):
         order = (
             [("plain", fn_plain, args_p), ("shard", fn_shard, args_s)]
@@ -143,7 +157,8 @@ def main():
             t0 = time.perf_counter()
             acc = jnp.uint32(t + 1)
             for _i in range(steps):
-                acc = digj(acc, fn(*args))
+                tick[0] += 1  # step-distinct inputs: no terminal replay
+                acc = digj(acc, fn(jnp.int32(tick[0]), *args))
             _ = int(acc)
             res[name].append((time.perf_counter() - t0) / steps)
     for name in ("plain", "shard"):
