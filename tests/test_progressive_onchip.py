@@ -135,6 +135,25 @@ def test_onchip_progressive_hostindex_vs_spec_parity(testdata):
     assert np.array_equal(np.asarray(o1), np.asarray(o2))
 
 
+def test_hostindex_prep_repeat_stress(testdata):
+    """Regression for the ensure_lut16 thread race: repeated preps with
+    the shared worker pool hit a half-built LUT16 about 1-in-4 before
+    the C++ mutex fix (spurious ERR_BAD_HUFFMAN -> prep None)."""
+    from zpix_tpu import runtime
+    from zpix_tpu.parallel.progressive_onchip import parse_progressive
+
+    if runtime.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    path = os.path.join(testdata, "video-001.q50.444.progressive.jpeg")
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = OnchipProgressiveDecoder(**_KW)
+    plans = [parse_progressive(data) for _ in range(8)]
+    dec._check_batch(plans)
+    for i in range(6):
+        assert dec._prep_hostindex(plans) is not None, f"prep {i} failed"
+
+
 @pytest.mark.slow
 def test_onchip_progressive_full_corpus(testdata):
     dec = OnchipProgressiveDecoder(**_KW)

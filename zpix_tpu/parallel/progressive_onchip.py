@@ -1417,8 +1417,6 @@ class OnchipProgressiveDecoder:
         """Host C++ DC-first index pass -> packed buffer + meta, or
         None on an index error (caller falls back)."""
         import ctypes
-        import os as _os
-        from concurrent.futures import ThreadPoolExecutor
 
         from .. import runtime
 
@@ -1476,8 +1474,6 @@ class OnchipProgressiveDecoder:
         nonzero masks so later refinement index passes need NO device
         store fetch.  Returns packed buffer + meta, or None."""
         import ctypes
-        import os as _os
-        from concurrent.futures import ThreadPoolExecutor
 
         from .. import runtime
 
@@ -1962,8 +1958,6 @@ class OnchipProgressiveDecoder:
         Returns a meta dict (packed buffer + kernel statics), or None ->
         caller falls back to the host tail at this scan."""
         import ctypes
-        import os as _os
-        from concurrent.futures import ThreadPoolExecutor
 
         from .. import runtime
 
